@@ -1,0 +1,165 @@
+"""Deformable convolution as bilinear-gather + MXU matmuls (NHWC).
+
+The reference implements DCNv1 as a CUDA ``deformable_im2col`` gather followed
+by a grouped GEMM (/root/reference/models/dcn/src/deform_conv_cuda.cpp:152-260,
+deform_conv_cuda_kernel.cu:83-232). On TPU we keep exactly that structure but
+let XLA own it: for each of the K*K kernel taps we bilinear-sample the feature
+map at ``base_grid + tap + offset`` (zero padding outside, matching
+``deformable_im2col_bilinear``) and accumulate ``sample @ W_tap`` — K*K large
+``[B*H*W, Cin] x [Cin, Cout]`` matmuls that map straight onto the MXU, with the
+gathers fused into the surrounding jit region.
+
+Only the configuration S2ANet uses is supported: stride 1, 'same' padding,
+dilation 1, deformable_groups 1 (AlignConv is the sole consumer —
+/root/reference/models/alignconv.py:8-98).
+
+``align_conv_offsets`` computes AlignConv's analytic offsets from refined
+anchors (parity: alignconv.py:30-86) directly in the ``[..., K*K, 2]`` (dy, dx)
+layout this op consumes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_sample_nhwc(feat, py, px):
+    """Bilinear sample with zero padding outside the image.
+
+    Args:
+      feat: ``[B, H, W, C]``.
+      py, px: ``[B, ...]`` float sample coordinates (pixel units, y=row).
+
+    Returns:
+      ``[B, ..., C]`` sampled values; 0 where the 2x2 support lies fully outside.
+    """
+    b, h, w, c = feat.shape
+    out_shape = py.shape[1:]
+    py = py.reshape(b, -1)
+    px = px.reshape(b, -1)
+
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    ly = py - y0
+    lx = px - x0
+    hy = 1.0 - ly
+    hx = 1.0 - lx
+
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    flat = feat.reshape(b, h * w, c)
+
+    def corner(yi, xi, wgt):
+        inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return vals * (wgt * inside)[..., None]
+
+    out = (
+        corner(y0i, x0i, hy * hx)
+        + corner(y0i, x0i + 1, hy * lx)
+        + corner(y0i + 1, x0i, ly * hx)
+        + corner(y0i + 1, x0i + 1, ly * lx)
+    )
+    return out.reshape(b, *out_shape, c)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_size",))
+def deform_conv2d(x, offsets, weight, bias=None, kernel_size: int = 3):
+    """Deformable conv, stride 1, same padding, NHWC.
+
+    Args:
+      x:       ``[B, H, W, Cin]``.
+      offsets: ``[B, H, W, K*K, 2]`` — (dy, dx) added to each standard tap.
+      weight:  ``[K, K, Cin, Cout]`` (HWIO).
+      bias:    optional ``[Cout]``.
+
+    Returns:
+      ``[B, H, W, Cout]``.
+    """
+    b, h, w, cin = x.shape
+    k = kernel_size
+    cout = weight.shape[-1]
+    w_taps = weight.reshape(k * k, cin, cout)
+
+    gy = jnp.arange(h, dtype=x.dtype)[None, :, None]
+    gx = jnp.arange(w, dtype=x.dtype)[None, None, :]
+    pad = (k - 1) // 2
+
+    acc = jnp.zeros((b, h, w, cout), jnp.promote_types(x.dtype, jnp.float32))
+    for t in range(k * k):
+        ky = t // k - pad
+        kx = t % k - pad
+        py = gy + ky + offsets[..., t, 0]
+        px = gx + kx + offsets[..., t, 1]
+        s = bilinear_sample_nhwc(x, py, px)  # [B,H,W,Cin]
+        acc = acc + jax.lax.dot_general(
+            s.reshape(b * h * w, cin),
+            w_taps[t],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(b, h, w, cout)
+    if bias is not None:
+        acc = acc + bias
+    return acc.astype(x.dtype)
+
+
+def align_conv_offsets(anchors, featmap_size, stride: float, kernel_size: int = 3):
+    """Analytic deformable offsets from refined anchors (AlignConv).
+
+    Scales the anchor (w, h) down to the K x K kernel window, rotates the
+    standard sampling grid by the anchor angle, and subtracts the standard
+    grid positions. Parity: /root/reference/models/alignconv.py:30-86 (the
+    reference computes these under ``no_grad``; callers should
+    ``lax.stop_gradient`` the anchors).
+
+    Args:
+      anchors: ``[B, H*W, 5]`` refined anchors in image pixels/radians.
+      featmap_size: (H, W) of the feature level.
+      stride: downsample factor of this level.
+
+    Returns:
+      ``[B, H, W, K*K, 2]`` (dy, dx) offsets for :func:`deform_conv2d`.
+    """
+    h, w = featmap_size
+    k = kernel_size
+    pad = (k - 1) // 2
+    dtype = anchors.dtype
+
+    idx = jnp.arange(-pad, pad + 1, dtype=dtype)
+    yy, xx = jnp.meshgrid(idx, idx, indexing="ij")
+    xx = xx.reshape(-1)  # [K*K]
+    yy = yy.reshape(-1)
+
+    yc, xc = jnp.meshgrid(
+        jnp.arange(h, dtype=dtype), jnp.arange(w, dtype=dtype), indexing="ij"
+    )
+    x_conv = xc.reshape(-1)[:, None] + xx[None, :]  # [H*W, K*K]
+    y_conv = yc.reshape(-1)[:, None] + yy[None, :]
+
+    x_ctr, y_ctr, aw, ah, a = [anchors[..., i] for i in range(5)]
+    x_ctr, y_ctr, aw, ah = (
+        x_ctr / stride,
+        y_ctr / stride,
+        aw / stride,
+        ah / stride,
+    )
+    cos, sin = jnp.cos(a), jnp.sin(a)
+    dw = aw / k
+    dh = ah / k
+    # [B, H*W, K*K]
+    xk = dw[..., None] * xx
+    yk = dh[..., None] * yy
+    xr = cos[..., None] * xk - sin[..., None] * yk
+    yr = sin[..., None] * xk + cos[..., None] * yk
+    x_anchor = xr + x_ctr[..., None]
+    y_anchor = yr + y_ctr[..., None]
+
+    off_y = y_anchor - y_conv[None]
+    off_x = x_anchor - x_conv[None]
+    off = jnp.stack([off_y, off_x], axis=-1)  # [B, H*W, K*K, 2]
+    return off.reshape(anchors.shape[0], h, w, k * k, 2)

@@ -1,0 +1,154 @@
+"""Rotated NMS on TPU — static shapes, never leaves the device.
+
+Replaces the reference's CUDA bitmask kernel + host-side bit sweep
+(/root/reference/utils/nms_rotated/src/nms_rotated_cuda.cu:14-125 and the
+ml_nms variant in utils/ml_nms_rotated/) with an on-device formulation:
+
+  * the pairwise rotated-IoU matrix of the (score-sorted) candidates is
+    computed with :func:`box_iou_rotated` (tiled, VPU-parallel);
+  * the inherently sequential greedy sweep runs as a ``lax.fori_loop`` over
+    rows of that matrix — no device->host round trip, so decode + NMS stays
+    inside one jit region (the reference syncs to CPU for the bit sweep).
+
+Dynamic candidate counts are replaced by fixed-capacity buffers + validity
+masks: candidates below the score threshold carry score -1 and a False mask,
+and simply never suppress anyone.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .iou_rotated import box_iou_rotated
+
+
+def _greedy_sweep(iou, alive0):
+    """Sequential greedy suppression.
+
+    Args:
+      iou:   [K, K] IoU of score-descending candidates.
+      alive0: [K] initial validity.
+
+    Returns:
+      [K] bool — survivors, in the same (sorted) order.
+    """
+    k = iou.shape[0]
+    idx = jnp.arange(k)
+
+    def body(i, alive):
+        row = jax.lax.dynamic_index_in_dim(iou, i, keepdims=False)
+        suppress = (row > 0.0) & (idx > i) & alive[i]
+        return alive & ~suppress
+
+    # Pre-threshold the matrix once so `body` only compares against 0.
+    return jax.lax.fori_loop(0, k, body, alive0)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def nms_rotated(boxes, scores, iou_thr: float = 0.5, valid=None, block_n: int = 256):
+    """Single-class rotated NMS.
+
+    Args:
+      boxes:  ``[K, 5]`` rotated boxes.
+      scores: ``[K]``.
+      iou_thr: suppression threshold.
+      valid:  optional ``[K]`` bool mask of live candidates.
+
+    Returns:
+      ``keep`` — ``[K]`` bool mask in the *input* order.
+      Parity: /root/reference/utils/nms_rotated/__init__.py:6.
+    """
+    k = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((k,), bool)
+    s = jnp.where(valid, scores, -jnp.inf)
+    order = jnp.argsort(-s)
+    b = boxes[order]
+    iou = box_iou_rotated(b, b, block_n=block_n)
+    iou = jnp.where(iou > iou_thr, iou, 0.0)
+    alive = _greedy_sweep(iou, valid[order])
+    return jnp.zeros((k,), bool).at[order].set(alive)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def ml_nms_rotated(
+    boxes, scores, labels, iou_thr: float = 0.5, valid=None, block_n: int = 256
+):
+    """Multi-label rotated NMS: boxes of different labels never suppress each
+    other (IoU across classes forced to 0, mirroring
+    /root/reference/utils/ml_nms_rotated/src/box_iou_rotated_utils.h:317-322).
+
+    Returns ``[K]`` bool keep mask in input order.
+    """
+    k = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((k,), bool)
+    s = jnp.where(valid, scores, -jnp.inf)
+    order = jnp.argsort(-s)
+    b = boxes[order]
+    lab = labels[order]
+    iou = box_iou_rotated(b, b, block_n=block_n)
+    same = lab[:, None] == lab[None, :]
+    iou = jnp.where(same & (iou > iou_thr), iou, 0.0)
+    alive = _greedy_sweep(iou, valid[order])
+    return jnp.zeros((k,), bool).at[order].set(alive)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_per_img", "pre_nms_cap", "block_n")
+)
+def multiclass_nms_rotated(
+    bboxes,
+    scores,
+    score_thr: float = 0.05,
+    iou_thr: float = 0.5,
+    max_per_img: int = 2000,
+    pre_nms_cap: int = 4096,
+    block_n: int = 256,
+):
+    """Per-image multiclass rotated NMS with fixed output capacity.
+
+    Mirrors /root/reference/utils/bbox_nms_rotated.py:5-67: each box is
+    duplicated per class, filtered by ``score_thr``, suppressed per-class,
+    capped at ``max_per_img``. Dynamic shapes are replaced by a fixed
+    ``pre_nms_cap`` top-k candidate buffer and a validity mask.
+
+    Args:
+      bboxes: ``[N, 5]`` decoded rotated boxes.
+      scores: ``[N, C]`` per-class probabilities (post-sigmoid).
+
+    Returns:
+      ``det_boxes [max_per_img, 6]`` (x, y, w, h, theta, score),
+      ``det_labels [max_per_img]`` int32,
+      ``det_valid [max_per_img]`` bool.
+    """
+    n, c = scores.shape
+    flat = scores.reshape(-1)
+    flat = jnp.where(flat > score_thr, flat, -1.0)
+    k = min(pre_nms_cap, n * c)
+    top_scores, top_idx = jax.lax.top_k(flat, k)
+    cand_boxes = bboxes[top_idx // c]
+    cand_labels = (top_idx % c).astype(jnp.int32)
+    cand_valid = top_scores > score_thr
+
+    iou = box_iou_rotated(cand_boxes, cand_boxes, block_n=block_n)
+    same = cand_labels[:, None] == cand_labels[None, :]
+    iou = jnp.where(same & (iou > iou_thr), iou, 0.0)
+    alive = _greedy_sweep(iou, cand_valid)
+
+    kept_scores = jnp.where(alive, top_scores, -1.0)
+    sel_scores, sel = jax.lax.top_k(kept_scores, min(max_per_img, k))
+    det_valid = sel_scores > score_thr
+    det_boxes = jnp.concatenate(
+        [cand_boxes[sel], jnp.maximum(sel_scores, 0.0)[:, None]], axis=1
+    )
+    det_labels = cand_labels[sel]
+    if max_per_img > k:  # pad up to the static output size
+        pad = max_per_img - k
+        det_boxes = jnp.pad(det_boxes, ((0, pad), (0, 0)))
+        det_labels = jnp.pad(det_labels, (0, pad))
+        det_valid = jnp.pad(det_valid, (0, pad))
+    return det_boxes, det_labels, det_valid

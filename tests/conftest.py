@@ -1,0 +1,23 @@
+"""Test harness config: hermetic 8-device virtual CPU mesh.
+
+Must run before jax is imported anywhere: forces the CPU backend with 8
+virtual devices so multi-chip sharding paths are exercised without TPUs
+(the TPU-native answer to "test distributed without a cluster").
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may preset a TPU backend
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

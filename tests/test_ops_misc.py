@@ -1,0 +1,164 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from s2anet_tpu.ops import (
+    arf_indices,
+    rotate_arf,
+    rotation_invariant_pooling,
+    deform_conv2d,
+    align_conv_offsets,
+)
+from s2anet_tpu.ops.deform_conv import bilinear_sample_nhwc
+
+
+# ---------------------------------------------------------------- ORN / ARF
+def arf_scatter_oracle(weight, n_rotation=8):
+    """Direct NumPy emulation of the CUDA scatter semantics
+    (ActiveRotatingFilter_cuda.cu:20-46): out[i,k,j,indices[l,k]] = w[i,j,l]."""
+    cout, cin, n_orient, kh, kw = weight.shape
+    n_entry = n_orient * kh * kw
+    idx = arf_indices(n_orient, n_rotation, kh)  # [nEntry, nRot], 0-based
+    flat = weight.reshape(cout, cin, n_entry)
+    out = np.zeros((cout, n_rotation, cin, n_entry), weight.dtype)
+    for l in range(n_entry):
+        for k in range(n_rotation):
+            out[:, k, :, idx[l, k]] = flat[:, :, l]
+    return out.reshape(cout * n_rotation, cin * n_orient, kh, kw)
+
+
+def test_rotate_arf_matches_cuda_scatter(rng):
+    w = rng.normal(size=(2, 3, 8, 3, 3)).astype(np.float32)
+    got = np.asarray(rotate_arf(jnp.asarray(w), 8))
+    want = arf_scatter_oracle(w, 8)
+    np.testing.assert_allclose(got, want)
+
+
+def test_arf_indices_are_permutations():
+    idx = arf_indices(8, 8, 3)
+    for k in range(8):
+        assert sorted(idx[:, k].tolist()) == list(range(72))
+    # rotation 0 is the identity
+    assert (idx[:, 0] == np.arange(72)).all()
+
+
+def test_arf_180_rotation_flips_kernel():
+    # one orientation channel, check the 180-degree copy is the spatially
+    # flipped kernel of the orientation-shifted channel
+    w = np.zeros((1, 1, 8, 3, 3), np.float32)
+    w[0, 0, 0] = np.arange(9, dtype=np.float32).reshape(3, 3)
+    out = np.asarray(rotate_arf(jnp.asarray(w), 8)).reshape(8, 8, 3, 3)
+    # rotation k=4 (180 deg): orientation channel shifts by 4, kernel reversed
+    np.testing.assert_allclose(
+        out[4, 4], np.arange(9, dtype=np.float32)[::-1].reshape(3, 3)
+    )
+
+
+def test_rotation_invariant_pooling():
+    x = jnp.arange(2 * 1 * 1 * 16, dtype=jnp.float32).reshape(2, 1, 1, 16)
+    out = np.asarray(rotation_invariant_pooling(x, 8))
+    assert out.shape == (2, 1, 1, 2)
+    np.testing.assert_allclose(out[0, 0, 0], [7, 15])
+
+
+# ------------------------------------------------------------- deform conv
+def test_bilinear_sample_exact_grid():
+    feat = jnp.arange(2 * 4 * 5 * 3, dtype=jnp.float32).reshape(2, 4, 5, 3)
+    yy, xx = jnp.meshgrid(jnp.arange(4.0), jnp.arange(5.0), indexing="ij")
+    out = bilinear_sample_nhwc(
+        feat, jnp.broadcast_to(yy, (2, 4, 5)), jnp.broadcast_to(xx, (2, 4, 5))
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(feat))
+
+
+def test_bilinear_sample_midpoint_and_outside():
+    feat = jnp.zeros((1, 2, 2, 1)).at[0, :, :, 0].set(
+        jnp.array([[1.0, 2.0], [3.0, 4.0]])
+    )
+    py = jnp.array([[0.5]])
+    px = jnp.array([[0.5]])
+    out = float(np.asarray(bilinear_sample_nhwc(feat, py, px))[0, 0, 0])
+    assert abs(out - 2.5) < 1e-6
+    out2 = float(
+        np.asarray(bilinear_sample_nhwc(feat, jnp.array([[-5.0]]), px))[0, 0, 0]
+    )
+    assert out2 == 0.0
+    # half-in: at y=-0.5 only the y=0 row contributes with weight 0.5
+    out3 = float(
+        np.asarray(
+            bilinear_sample_nhwc(feat, jnp.array([[-0.5]]), jnp.array([[0.0]]))
+        )[0, 0, 0]
+    )
+    assert abs(out3 - 0.5) < 1e-6
+
+
+def test_deform_conv_zero_offsets_is_conv(rng):
+    b, h, w, cin, cout = 2, 8, 8, 4, 6
+    x = jnp.asarray(rng.normal(size=(b, h, w, cin)).astype(np.float32))
+    weight = jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32))
+    offsets = jnp.zeros((b, h, w, 9, 2))
+    got = deform_conv2d(x, offsets, weight)
+    want = jax.lax.conv_general_dilated(
+        x, weight, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_deform_conv_integer_shift(rng):
+    # constant offset of (+1, 0) everywhere == conv over the y-shifted image
+    b, h, w, cin, cout = 1, 10, 10, 3, 2
+    x = rng.normal(size=(b, h, w, cin)).astype(np.float32)
+    weight = jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32))
+    offsets = jnp.zeros((b, h, w, 9, 2)).at[..., 0].set(1.0)
+    got = np.asarray(deform_conv2d(jnp.asarray(x), offsets, weight))
+    x_shift = np.zeros_like(x)
+    x_shift[:, :-1] = x[:, 1:]  # sampling y+1 pulls rows up
+    want = np.asarray(
+        jax.lax.conv_general_dilated(
+            jnp.asarray(x_shift), weight, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    )
+    # interior rows must match exactly (border rows differ by zero-pad policy)
+    np.testing.assert_allclose(got[:, 1:-2], want[:, 1:-2], atol=1e-4)
+
+
+def test_align_conv_offsets_identity():
+    """An axis-aligned anchor of size 3*stride centred on its cell gives zero
+    offsets — the anchor window coincides with the standard 3x3 conv grid."""
+    h = w = 4
+    stride = 8.0
+    yc, xc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    anchors = np.stack(
+        [
+            (xc * stride).ravel(),
+            (yc * stride).ravel(),
+            np.full(h * w, 3 * stride),
+            np.full(h * w, 3 * stride),
+            np.zeros(h * w),
+        ],
+        axis=1,
+    ).astype(np.float32)[None]
+    off = np.asarray(align_conv_offsets(jnp.asarray(anchors), (h, w), stride))
+    assert off.shape == (1, h, w, 9, 2)
+    np.testing.assert_allclose(off, 0.0, atol=1e-5)
+
+
+def test_align_conv_offsets_rotation_geometry():
+    """For a rotated anchor the sampled points must be the anchor's rotated
+    kernel grid: check the centre tap is the anchor centre."""
+    h = w = 3
+    stride = 8.0
+    anchors = np.zeros((1, 9, 5), np.float32)
+    anchors[0, :, 0] = 20.0  # x centre in pixels
+    anchors[0, :, 1] = 12.0
+    anchors[0, :, 2] = 48.0
+    anchors[0, :, 3] = 24.0
+    anchors[0, :, 4] = 0.7
+    off = np.asarray(align_conv_offsets(jnp.asarray(anchors), (h, w), stride))
+    # centre tap (index 4): sample position = anchor centre in feat coords
+    yc, xc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    sample_y = yc + off[0, :, :, 4, 0]
+    sample_x = xc + off[0, :, :, 4, 1]
+    np.testing.assert_allclose(sample_y, 12.0 / stride, atol=1e-5)
+    np.testing.assert_allclose(sample_x, 20.0 / stride, atol=1e-5)
