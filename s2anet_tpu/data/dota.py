@@ -1,0 +1,262 @@
+"""DOTA dataset + batch loader (host-side, NumPy; feeds the jit'd steps).
+
+Replaces the reference's torch Dataset/DataLoader stack
+(/root/reference/utils/datasets_rotation.py:92-768) with a thread-prefetched
+NumPy pipeline producing fixed-shape batches:
+
+  * YOLO-rotated label files: ``cls x1 y1 ... y4`` normalized (verify +
+    memory cache, mirroring the .cache mechanism at datasets_rotation.py:294-327);
+  * augmentation: fliplr / flipud / 90-degree rotation / HSV (the 70.7 recipe);
+  * polygons convert to (x, y, w, h, theta) once per sample via the exact
+    min-area-rect (datasets_rotation.py:516 uses cv2.minAreaRect);
+  * output: ``imgs [B, S, S, 3] float32 in [0, 1]`` (RGB) and padded targets
+    ``gt_boxes [B, G, 5]`` (pixels/radians), ``gt_classes [B, G]``,
+    ``gt_mask [B, G]`` — the static shapes the masked assigner consumes;
+  * per-host sharding for multi-process data parallelism (the
+    DistributedSampler analogue, datasets_rotation.py:111).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import queue
+import threading
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..ops.rbox import poly_to_rbox_np
+from . import augment as A
+
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
+
+
+def load_dota_label(path) -> np.ndarray:
+    """YOLO-rotated label file -> [N, 9] (cls, x1..y4 normalized)."""
+    path = Path(path)
+    if not path.exists():
+        return np.zeros((0, 9), np.float32)
+    rows = []
+    for line in path.read_text().splitlines():
+        parts = line.split()
+        if len(parts) != 9:
+            continue
+        rows.append([float(v) for v in parts])
+    if not rows:
+        return np.zeros((0, 9), np.float32)
+    arr = np.array(rows, np.float32)
+    # validity guards (verify_image_label, datasets_rotation.py:667-713)
+    arr = arr[(arr[:, 1:] >= 0).all(1) & (arr[:, 1:] <= 1).all(1)]
+    return arr
+
+
+def _img2label(img_path: Path) -> Path:
+    parts = list(img_path.parts)
+    for i in range(len(parts) - 1, -1, -1):
+        if parts[i] == "images":
+            parts[i] = "labels"
+            return Path(*parts).with_suffix(".txt")
+    return img_path.with_suffix(".txt")
+
+
+class DotaDataset:
+    """Index of (image, label) pairs with on-the-fly augmentation."""
+
+    def __init__(
+        self,
+        source,
+        img_size: int = 1024,
+        max_gt: int = 512,
+        augment: bool = False,
+        fliplr: float = 0.5,
+        flipud: float = 0.0,
+        rot90: bool = True,
+        hsv=(0.0, 0.0, 0.0),
+        pad_value: int = 114,
+        class_names: Optional[Sequence[str]] = None,
+    ):
+        self.img_size = img_size
+        self.max_gt = max_gt
+        self.augment = augment
+        self.fliplr = fliplr
+        self.flipud = flipud
+        self.rot90 = rot90
+        self.hsv = hsv
+        self.pad_value = pad_value
+        self.class_names = class_names
+
+        src = Path(source)
+        if src.is_dir():
+            self.img_files = sorted(
+                p for p in src.rglob("*") if p.suffix.lower() in IMG_EXTS
+            )
+        else:  # txt list of image paths (data yaml style)
+            self.img_files = [
+                Path(line.strip())
+                for line in src.read_text().splitlines()
+                if line.strip()
+            ]
+        self.label_files = [_img2label(p) for p in self.img_files]
+        self.labels = [load_dota_label(p) for p in self.label_files]
+
+    def __len__(self):
+        return len(self.img_files)
+
+    def load_image(self, i: int) -> np.ndarray:
+        import cv2
+
+        img = cv2.imread(str(self.img_files[i]))
+        if img is None:
+            raise FileNotFoundError(self.img_files[i])
+        return img
+
+    def get_sample(self, i: int, rng: Optional[np.random.Generator] = None) -> Dict:
+        rng = rng or np.random.default_rng()
+        img = self.load_image(i)  # BGR uint8
+        h0, w0 = img.shape[:2]
+        label = self.labels[i]
+        cls = label[:, 0].astype(np.int32)
+        polys = label[:, 1:].copy()
+        polys[:, 0::2] *= w0
+        polys[:, 1::2] *= h0
+
+        if (h0, w0) != (self.img_size, self.img_size):
+            img, ratio, pad = A.letterbox(img, self.img_size, self.pad_value)
+            polys = A.scale_polys(polys, ratio, pad)
+
+        if self.augment:
+            if any(self.hsv):
+                img = A.hsv_augment(img, *self.hsv, rng=rng)
+            if self.rot90:
+                img, polys = A.rot90_image_and_polys(
+                    img, polys, int(rng.integers(0, 4))
+                )
+            if rng.uniform() < self.fliplr:
+                polys = A.fliplr_polys(img.shape[1], polys)
+                img = np.ascontiguousarray(img[:, ::-1])
+            if rng.uniform() < self.flipud:
+                polys = A.flipud_polys(img.shape[0], polys)
+                img = np.ascontiguousarray(img[::-1])
+            keep = A.filter_polys_center_inside(
+                polys, img.shape[0], img.shape[1]
+            )
+            polys, cls = polys[keep], cls[keep]
+
+        rboxes = (
+            poly_to_rbox_np(polys).astype(np.float32)
+            if len(polys)
+            else np.zeros((0, 5), np.float32)
+        )
+        # drop degenerate boxes (zero side)
+        ok = (rboxes[:, 2] > 1e-3) & (rboxes[:, 3] > 1e-3)
+        rboxes, cls = rboxes[ok], cls[ok]
+
+        g = self.max_gt
+        n = min(len(rboxes), g)
+        gt_boxes = np.zeros((g, 5), np.float32)
+        gt_classes = np.zeros((g,), np.int32)
+        gt_mask = np.zeros((g,), bool)
+        gt_boxes[:n] = rboxes[:n]
+        gt_classes[:n] = cls[:n]
+        gt_mask[:n] = True
+
+        rgb = np.ascontiguousarray(img[:, :, ::-1], dtype=np.float32) / 255.0
+        return {
+            "imgs": rgb,
+            "gt_boxes": gt_boxes,
+            "gt_classes": gt_classes,
+            "gt_mask": gt_mask,
+            "path": str(self.img_files[i]),
+            "orig_shape": (h0, w0),
+        }
+
+
+class BatchLoader:
+    """Shuffling, sharded, thread-prefetched batch iterator.
+
+    Per-host sharding (``shard``/``num_shards``) is the jax.process analogue
+    of DistributedSampler; epoch-seeded shuffling mirrors
+    sampler.set_epoch (train.py:311-312).
+    """
+
+    def __init__(
+        self,
+        dataset: DotaDataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        shard: int = 0,
+        num_shards: int = 1,
+        drop_last: bool = True,
+        num_workers: int = 4,
+        prefetch: int = 4,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.shard = shard
+        self.num_shards = num_shards
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.ds) // self.num_shards
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self):
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        return idx[self.shard:: self.num_shards]
+
+    def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        idx = self._indices()
+        nb = len(self)
+        batches = [
+            idx[i * self.batch_size:(i + 1) * self.batch_size]
+            for i in range(nb)
+        ]
+        rng_seed = self.seed * 100003 + self.epoch
+
+        def load(args):
+            bi, batch_idx = args
+            rng = np.random.default_rng(rng_seed + bi)
+            samples = [self.ds.get_sample(int(j), rng) for j in batch_idx]
+            out = {
+                k: np.stack([s[k] for s in samples])
+                for k in ("imgs", "gt_boxes", "gt_classes", "gt_mask")
+            }
+            out["paths"] = [s["path"] for s in samples]
+            out["orig_shapes"] = [s["orig_shape"] for s in samples]
+            return out
+
+        if self.num_workers <= 1:
+            for args in enumerate(batches):
+                yield load(args)
+            return
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            futures = []
+            it = iter(enumerate(batches))
+            for _ in range(min(self.prefetch, nb)):
+                futures.append(pool.submit(load, next(it)))
+            k = 0
+            while futures:
+                batch = futures.pop(0).result()
+                try:
+                    futures.append(pool.submit(load, next(it)))
+                except StopIteration:
+                    pass
+                yield batch

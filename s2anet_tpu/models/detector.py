@@ -1,0 +1,52 @@
+"""The S2ANet detector: backbone -> FPN -> S2ANet head (flax, NHWC).
+
+Parity: /root/reference/models/detector.py:9-38. Strides (8, 16, 32, 64, 128);
+R-50 backbone with nothing frozen by default (detector.py:20); FPN P3-P7.
+
+Unlike the reference's monolithic ``forward(imgs, targets, post_process)``,
+the apply function returns raw head outputs; loss and decoding are pure
+functions (`compute_s2anet_loss`, `s2anet_get_bboxes`) composed by the train
+and eval steps — this keeps a single traced forward usable for training,
+evaluation and serving.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+
+from .fpn import FPN
+from .head import S2ANetHead
+from .resnet import ResNetBackbone, stage_channels
+
+
+class S2ANet(nn.Module):
+    backbone_name: str = "resnet50"
+    num_classes: int = 15
+    strides: Sequence[int] = (8, 16, 32, 64, 128)
+    frozen_stages: int = -1
+    norm_eval: bool = False
+    with_orconv: bool = True
+
+    @nn.compact
+    def __call__(self, imgs, train: bool = False):
+        """imgs: ``[B, H, W, 3]`` float (already /255 normalized)."""
+        feats = ResNetBackbone(
+            arch=self.backbone_name,
+            frozen_stages=self.frozen_stages,
+            norm_eval=self.norm_eval,
+            name="backbone",
+        )(imgs, train=train)
+        pyramid = FPN(
+            in_channels=tuple(stage_channels(self.backbone_name)),
+            out_channels=256,
+            num_outs=len(self.strides),
+            name="neck",
+        )(feats)
+        return S2ANetHead(
+            num_classes=self.num_classes,
+            featmap_strides=tuple(self.strides),
+            with_orconv=self.with_orconv,
+            name="head",
+        )(pyramid)

@@ -1,0 +1,162 @@
+"""ResNet backbones in flax (NHWC), feature-pyramid taps C3/C4/C5.
+
+Functional re-design of the reference's hand-written torch ResNet
+(/root/reference/models/backbone.py:8-354): identical topology (so torchvision
+weights import 1:1 through :mod:`s2anet_tpu.models.torch_import`) but NHWC
+layout for TPU conv efficiency and flax BatchNorm running statistics.
+
+Stage freezing (backbone.py:324-344) is realized the JAX way: frozen stages
+run their BatchNorm in inference mode (``frozen_stages`` here) and the
+optimizer masks their gradients (see ``s2anet_tpu.train.optim.freeze_mask``) —
+parameters stay immutable without mutating module state.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+ARCH_SETTINGS = {
+    "resnet18": ("basic", (2, 2, 2, 2)),
+    "resnet34": ("basic", (3, 4, 6, 3)),
+    "resnet50": ("bottleneck", (3, 4, 6, 3)),
+    "resnet101": ("bottleneck", (3, 4, 23, 3)),
+    "resnet152": ("bottleneck", (3, 8, 36, 3)),
+}
+
+_he_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def _BatchNorm(use_running_average: bool, name: str):
+    """BatchNorm matching torch defaults (eps 1e-5, torch momentum 0.1)."""
+    return nn.BatchNorm(
+        use_running_average=use_running_average,
+        momentum=0.9,
+        epsilon=1e-5,
+        name=name,
+    )
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = nn.Conv(self.planes, (3, 3), (self.stride, self.stride),
+                    [(1, 1), (1, 1)],
+                    use_bias=False, kernel_init=_he_init, name="conv1")(x)
+        y = _BatchNorm(not self.train, "bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes, (3, 3), (1, 1), [(1, 1), (1, 1)],
+                    use_bias=False, kernel_init=_he_init, name="conv2")(y)
+        y = _BatchNorm(not self.train, "bn2")(y)
+        if self.downsample:
+            residual = nn.Conv(self.planes, (1, 1), (self.stride, self.stride),
+                               use_bias=False, kernel_init=_he_init,
+                               name="downsample_conv")(x)
+            residual = _BatchNorm(not self.train, "downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    train: bool = False
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = nn.Conv(self.planes, (1, 1), use_bias=False,
+                    kernel_init=_he_init, name="conv1")(x)
+        y = _BatchNorm(not self.train, "bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes, (3, 3), (self.stride, self.stride),
+                    [(1, 1), (1, 1)],
+                    use_bias=False, kernel_init=_he_init, name="conv2")(y)
+        y = _BatchNorm(not self.train, "bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
+                    kernel_init=_he_init, name="conv3")(y)
+        y = _BatchNorm(not self.train, "bn3")(y)
+        if self.downsample:
+            residual = nn.Conv(self.planes * self.expansion, (1, 1),
+                               (self.stride, self.stride), use_bias=False,
+                               kernel_init=_he_init, name="downsample_conv")(x)
+            residual = _BatchNorm(not self.train, "downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNetBackbone(nn.Module):
+    """Feature extractor: stem + 4 stages, returning (C3, C4, C5).
+
+    Attributes:
+      arch: one of ARCH_SETTINGS.
+      frozen_stages: stages (0=stem+layer1 boundary semantics of the reference:
+        index i freezes ``backbone[:i+1]``) whose BatchNorm always runs in
+        inference mode. -1 freezes nothing (the reproduced-70.7 setting,
+        detector.py:20).
+      norm_eval: force ALL BatchNorms to inference mode during training.
+      out_indices: which of (C1..C5) to return; default (2, 3, 4) -> C3..C5.
+    """
+
+    arch: str = "resnet50"
+    frozen_stages: int = -1
+    norm_eval: bool = False
+    out_indices: Sequence[int] = (2, 3, 4)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block_kind, layer_cfg = ARCH_SETTINGS[self.arch]
+        block = BasicBlock if block_kind == "basic" else Bottleneck
+        expansion = 1 if block_kind == "basic" else 4
+
+        def bn_train(stage_idx: int) -> bool:
+            if not train or self.norm_eval:
+                return False
+            return stage_idx > self.frozen_stages
+
+        outs = []
+        # C1: 7x7/2 stem
+        y = nn.Conv(64, (7, 7), (2, 2), [(3, 3), (3, 3)], use_bias=False,
+                    kernel_init=_he_init, name="conv1")(x)
+        y = _BatchNorm(not bn_train(0), "bn1")(y)
+        y = nn.relu(y)
+        if 0 in self.out_indices:
+            outs.append(y)
+
+        # C2: maxpool + layer1
+        y = nn.max_pool(y, (3, 3), (2, 2), [(1, 1), (1, 1)])
+        planes = 64
+        in_ch = 64
+        for stage, n_blocks in enumerate(layer_cfg):
+            stride = 1 if stage == 0 else 2
+            for b in range(n_blocks):
+                down = b == 0 and (stride != 1 or in_ch != planes * expansion)
+                y = block(
+                    planes=planes,
+                    stride=stride if b == 0 else 1,
+                    downsample=down,
+                    train=bn_train(stage + 1),
+                    name=f"layer{stage + 1}_{b}",
+                )(y)
+                in_ch = planes * expansion
+            if (stage + 1) in self.out_indices:
+                outs.append(y)
+            planes *= 2
+        return tuple(outs)
+
+
+def stage_channels(arch: str, out_indices=(2, 3, 4)):
+    """Output channel counts for the requested taps."""
+    kind, _ = ARCH_SETTINGS[arch]
+    exp = 1 if kind == "basic" else 4
+    chans = {0: 64, 1: 64 * exp, 2: 128 * exp, 3: 256 * exp, 4: 512 * exp}
+    return [chans[i] for i in out_indices]

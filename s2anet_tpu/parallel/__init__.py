@@ -1,0 +1,10 @@
+from .mesh import make_mesh, replicate_state, shard_batch
+from .step import make_train_step, make_eval_step
+
+__all__ = [
+    "make_mesh",
+    "replicate_state",
+    "shard_batch",
+    "make_train_step",
+    "make_eval_step",
+]

@@ -1,0 +1,150 @@
+"""Jit-compiled train / eval steps, single-chip or data-parallel over a mesh.
+
+One traced program covers forward, assignment, loss, backward, optimizer, EMA
+and (for eval) decode + NMS — nothing leaves the device per step, unlike the
+reference's loop which syncs loss items and detections to host every
+iteration (train.py:376-381, head.py:436, val.py:278-282).
+
+Gradient semantics: the loss normalizes by positives counted over the GLOBAL
+batch, so the data-parallel step computes bit-identical math to a single
+device with the same global batch. (The reference approximates this by
+multiplying the loss by WORLD_SIZE so DDP's mean-allreduce turns into a sum —
+train.py:348-349 — but its positives count stays per-process; global-batch
+jit semantics is the exact version.)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.head import compute_s2anet_loss, s2anet_get_bboxes
+from ..train.state import TrainState, ema_update
+from .mesh import batch_sharding, replicated
+
+
+def make_train_step(
+    model,
+    tx,
+    imgs_size,
+    num_classes: int,
+    model_cfg=None,
+    ema_decay: float = 0.9999,
+    ema_ramp: int = 2000,
+    compute_dtype=jnp.bfloat16,
+    mesh=None,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    Returns ``step(state, batch) -> (state, loss_items)`` where batch is a
+    dict with ``imgs [B,H,W,3] float (0..1)``, ``gt_boxes [B,G,5]``,
+    ``gt_classes [B,G]``, ``gt_mask [B,G]``. With a mesh, the batch is
+    sharded on axis 0 and the state replicated.
+    """
+    loss_kwargs = {}
+    if model_cfg is not None:
+        loss_kwargs = dict(
+            fl_gamma=model_cfg.fl_gamma,
+            fl_alpha=model_cfg.fl_alpha,
+            smooth_beta=model_cfg.smooth_beta,
+            odm_balance=model_cfg.odm_balance,
+            reg_balance=model_cfg.reg_balance,
+            fpn_balance=tuple(model_cfg.fpn_balance),
+        )
+
+    def step(state: TrainState, batch):
+        imgs = batch["imgs"].astype(compute_dtype)
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            total, items = compute_s2anet_loss(
+                out,
+                batch["gt_boxes"],
+                batch["gt_classes"],
+                batch["gt_mask"],
+                imgs_size=imgs_size,
+                num_classes=num_classes,
+                **loss_kwargs,
+            )
+            return total, (items, mut["batch_stats"])
+
+        grads, (items, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt,
+            batch_stats=new_bs,
+        )
+        state = ema_update(state, new_params, new_bs, ema_decay, ema_ramp)
+        return state, items
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, bsh),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(
+    model,
+    model_cfg=None,
+    compute_dtype=jnp.bfloat16,
+    mesh=None,
+    use_ema: bool = True,
+    max_per_img: Optional[int] = None,
+):
+    """Build the jitted eval step: forward + decode + NMS, batched.
+
+    Returns ``eval_step(state, imgs) -> (det_boxes [B,K,6], det_labels [B,K],
+    det_valid [B,K], loss_items)``.
+    """
+    post_kwargs = {}
+    if model_cfg is not None:
+        post_kwargs = dict(
+            score_thr=model_cfg.score_thr,
+            iou_thr=model_cfg.nms_iou_thr,
+            max_before_nms_per_level=model_cfg.max_before_nms_per_level,
+            max_per_img=max_per_img or model_cfg.max_per_img,
+            pre_nms_cap=model_cfg.pre_nms_cap,
+        )
+    elif max_per_img:
+        post_kwargs = dict(max_per_img=max_per_img)
+
+    def eval_step(state: TrainState, imgs):
+        params = state.ema_params if use_ema else state.params
+        bstats = state.ema_batch_stats if use_ema else state.batch_stats
+        out = model.apply(
+            {"params": params, "batch_stats": bstats},
+            imgs.astype(compute_dtype),
+            train=False,
+        )
+        return s2anet_get_bboxes(out, **post_kwargs)
+
+    if mesh is None:
+        return jax.jit(eval_step)
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        eval_step,
+        in_shardings=(rep, bsh),
+        out_shardings=(bsh, bsh, bsh),
+    )

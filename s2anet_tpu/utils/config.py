@@ -1,0 +1,139 @@
+"""Typed configuration system (dataclasses + YAML).
+
+Replaces the reference's argparse-plus-two-YAML-families setup
+(/root/reference/train.py:471-542, data/hyps/hyp.scratch.s2anet.yaml,
+data/dota.yaml) with one structured config. Defaults reproduce the
+reference's published 70.2/70.7-mAP50 training recipe (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional, Sequence
+
+import yaml
+
+
+@dataclass
+class ModelConfig:
+    backbone: str = "resnet50"
+    num_classes: int = 15
+    strides: Sequence[int] = (8, 16, 32, 64, 128)
+    frozen_stages: int = -1          # detector.py:20 — nothing frozen
+    norm_eval: bool = False
+    with_orconv: bool = True
+    # loss (head.py:94-135)
+    fl_gamma: float = 2.0
+    fl_alpha: float = 0.5
+    smooth_beta: float = 1.0 / 9.0
+    odm_balance: float = 1.0
+    reg_balance: float = 1.0
+    fpn_balance: Sequence[float] = (1.0, 1.0, 1.0, 1.0, 1.0)
+    # inference (head.py:73-76)
+    score_thr: float = 0.05
+    nms_iou_thr: float = 0.5
+    max_before_nms_per_level: int = 2000
+    max_per_img: int = 2000
+    pre_nms_cap: int = 4096
+
+
+@dataclass
+class DataConfig:
+    root: str = ""
+    train_list: str = ""              # txt of train image paths (YOLO layout)
+    val_list: str = ""
+    names: Sequence[str] = (
+        "plane", "baseball-diamond", "bridge", "ground-track-field",
+        "small-vehicle", "large-vehicle", "ship", "tennis-court",
+        "basketball-court", "storage-tank", "soccer-ball-field", "roundabout",
+        "harbor", "swimming-pool", "helicopter",
+    )
+    img_size: int = 1024
+    max_gt: int = 512                 # padded gt capacity per image
+    # augmentation (hyp.scratch.s2anet.yaml: only fliplr + 90-degree rotation)
+    fliplr: float = 0.5
+    flipud: float = 0.0
+    degrees: float = 180.0            # >0 enables random 90-degree-multiple rotation
+    hsv_h: float = 0.0
+    hsv_s: float = 0.0
+    hsv_v: float = 0.0
+    mosaic: float = 0.0
+    mixup: float = 0.0
+    translate: float = 0.0
+    scale: float = 0.0
+    # eval ground truth (data/dota.yaml style)
+    val_gt_dir: str = ""              # per-image DOTA labelTxt dir for eval
+    val_split_gt_dir: str = ""        # split-chip GT for is_mAP_split=True
+
+
+@dataclass
+class TrainConfig:
+    epochs: int = 12
+    batch_size: int = 8               # global batch
+    lr0: float = 0.005
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    warmup_iters: int = 500
+    warmup_init_factor: float = 1.0 / 3.0
+    lr_schedule: str = "step"         # step | cosine | linear
+    lr_decay_epochs: Sequence[float] = (8 / 12, 11 / 12)  # general.py:479-501
+    lr_decay_factor: float = 0.1
+    lrf: float = 0.1                  # final fraction for cosine/linear
+    grad_clip_norm: float = 35.0
+    ema_decay: float = 0.9999
+    ema_ramp_updates: int = 2000
+    dtype: str = "bfloat16"           # compute dtype (reference: AMP fp16)
+    seed: int = 0
+    save_dir: str = "runs/train/exp"
+    save_period: int = -1
+    val_every_epoch: bool = True
+
+
+@dataclass
+class EvalConfig:
+    batch_size: int = 16
+    is_map_split: bool = True         # evaluate against split-chip GT
+    conf_thres: float = 0.05
+    iou_thres: float = 0.5
+    merge_nms_thr: float = 0.5        # cross-chip poly NMS (ResultMerge)
+    use_07_metric: bool = True        # 11-point VOC AP
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def save(self, path):
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+
+
+def _merge(dc, overrides: dict):
+    kwargs = {}
+    for f in dataclasses.fields(dc):
+        if f.name in overrides:
+            v = overrides[f.name]
+            if dataclasses.is_dataclass(getattr(dc, f.name)):
+                v = _merge(getattr(dc, f.name), v)
+            kwargs[f.name] = v
+    return dataclasses.replace(dc, **kwargs)
+
+
+def load_config(path=None, overrides: Optional[dict] = None) -> Config:
+    cfg = Config()
+    if path:
+        with open(path) as f:
+            loaded = yaml.safe_load(f) or {}
+        cfg = _merge(cfg, loaded)
+    if overrides:
+        cfg = _merge(cfg, overrides)
+    return cfg

@@ -17,6 +17,15 @@ if "xla_force_host_platform_device_count" not in _flags:
 import numpy as np
 import pytest
 
+import jax
+
+# Persistent compilation cache: whole-detector CPU compiles take minutes;
+# cache them across test runs.
+_cache_dir = os.environ.get("JAX_TEST_CACHE", "/tmp/jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 
 @pytest.fixture
 def rng():
