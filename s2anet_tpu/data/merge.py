@@ -52,6 +52,11 @@ def poly_nms_np(polys: np.ndarray, scores: np.ndarray, iou_thr: float = 0.5):
     n = len(polys)
     if n == 0:
         return []
+    from .. import native
+
+    keep = native.poly_nms_native(polys, scores, iou_thr)
+    if keep is not None:
+        return keep
     xs = polys[:, 0::2]
     ys = polys[:, 1::2]
     x1, x2 = xs.min(1), xs.max(1)

@@ -1,0 +1,161 @@
+"""Evaluation driver — the reference val.py re-built as a streaming pipeline.
+
+Parity (/root/reference/val.py:113-425):
+  * batched jit inference (forward + decode + NMS fully on device; only the
+    fixed-size detection buffers cross to host, vs the reference's per-image
+    python lists at val.py:278-282);
+  * detections become polygons and are either
+      - evaluated directly against split-chip ground truth
+        (``is_mAP_split=True``, val.py:298-311), or
+      - merged back to full images with cross-chip polygon NMS first
+        (val.py:315-318);
+  * per-class VOC-07 AP at IoU 0.5, difficult GT filtered; max-F1 P/R.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..data.dota import BatchLoader, DotaDataset
+from ..data.merge import merge_chip_detections
+from ..data.split import parse_dota_label
+from ..ops.polyiou_ref import rbox_vertices_np
+from ..parallel.step import make_eval_step
+from .voc_eval import evaluate_detections
+
+
+def detections_to_polys(det_boxes: np.ndarray, det_valid: np.ndarray):
+    """[K, 6] (x,y,w,h,theta,score) + mask -> ([n,8] polys, [n] scores)."""
+    boxes = det_boxes[det_valid]
+    if len(boxes) == 0:
+        return np.zeros((0, 8)), np.zeros((0,))
+    polys = rbox_vertices_np(boxes[:, :5]).reshape(-1, 8)
+    return polys, boxes[:, 5]
+
+
+def gt_from_yolo_labels(dataset: DotaDataset, num_classes: int):
+    """Chip-level GT directly from the dataset's YOLO labels."""
+    gt_by_class: Dict[int, Dict] = {c: {} for c in range(num_classes)}
+    size = dataset.img_size
+    for img_path, label in zip(dataset.img_files, dataset.labels):
+        img_name = Path(img_path).stem
+        for c in range(num_classes):
+            gt_by_class[c].setdefault(img_name, [])
+        for row in label:
+            cid = int(row[0])
+            poly = row[1:].copy()
+            poly[0::2] *= size
+            poly[1::2] *= size
+            gt_by_class[cid][img_name].append((poly.astype(np.float64), False))
+    return gt_by_class
+
+
+def gt_from_dota_dir(gt_dir, class_names, image_names=None):
+    """Full-image GT from DOTA labelTxt files (difficult respected)."""
+    name_to_id = {n: i for i, n in enumerate(class_names)}
+    gt_by_class: Dict[int, Dict] = {c: {} for c in range(len(class_names))}
+    paths = sorted(Path(gt_dir).glob("*.txt"))
+    for p in paths:
+        img = p.stem
+        if image_names is not None and img not in image_names:
+            continue
+        for c in range(len(class_names)):
+            gt_by_class[c].setdefault(img, [])
+        for obj in parse_dota_label(p):
+            cid = name_to_id.get(obj["name"])
+            if cid is None:
+                continue
+            gt_by_class[cid][img].append(
+                (np.asarray(obj["poly"], np.float64), bool(obj["difficult"]))
+            )
+    return gt_by_class
+
+
+def evaluate_on_chips(model, state, cfg, mesh=None, dataset=None,
+                      use_ema: bool = True, verbose: bool = False):
+    """Run inference over the val chips and compute mAP50.
+
+    Returns dict(map50, mp, mr, per_class, timing).
+    """
+    import jax.numpy as jnp
+
+    dataset = dataset or DotaDataset(
+        cfg.data.val_list or cfg.data.root,
+        img_size=cfg.data.img_size,
+        max_gt=cfg.data.max_gt,
+        augment=False,
+        class_names=cfg.data.names,
+    )
+    loader = BatchLoader(
+        dataset, cfg.eval.batch_size, shuffle=False, drop_last=False
+    )
+    dtype = jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
+    eval_step = make_eval_step(
+        model, model_cfg=cfg.model, compute_dtype=dtype, mesh=mesh,
+        use_ema=use_ema,
+    )
+
+    num_classes = cfg.model.num_classes
+    chip_dets: Dict[str, list] = {}
+    t_infer = 0.0
+    n_imgs = 0
+    for batch in loader:
+        imgs = batch["imgs"]
+        b = imgs.shape[0]
+        if b < cfg.eval.batch_size:  # pad to static batch
+            pad = cfg.eval.batch_size - b
+            imgs = np.concatenate([imgs, np.zeros_like(imgs[:pad])], 0)
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            imgs_dev = shard_batch(mesh, imgs)
+        else:
+            imgs_dev = imgs
+        t0 = time.perf_counter()
+        det_boxes, det_labels, det_valid = eval_step(state, imgs_dev)
+        det_boxes = np.asarray(jax.device_get(det_boxes))[:b]
+        det_labels = np.asarray(jax.device_get(det_labels))[:b]
+        det_valid = np.asarray(jax.device_get(det_valid))[:b]
+        t_infer += time.perf_counter() - t0
+        n_imgs += b
+        for k in range(b):
+            chip_name = Path(batch["paths"][k]).stem
+            dets = []
+            polys, scores = detections_to_polys(det_boxes[k], det_valid[k])
+            labels = det_labels[k][det_valid[k]]
+            for cid, sc, poly in zip(labels, scores, polys):
+                dets.append((int(cid), float(sc), poly))
+            chip_dets[chip_name] = dets
+
+    if cfg.eval.is_map_split:
+        # evaluate directly on chips against the dataset's own labels
+        dets_by_class = defaultdict(list)
+        for chip, dets in chip_dets.items():
+            for cid, sc, poly in dets:
+                dets_by_class[cid].append((chip, sc, poly))
+        gt_by_class = gt_from_yolo_labels(dataset, num_classes)
+    else:
+        merged = merge_chip_detections(chip_dets, cfg.eval.merge_nms_thr)
+        dets_by_class = defaultdict(list)
+        for img, dets in merged.items():
+            for cid, sc, poly in dets:
+                dets_by_class[cid].append((img, sc, poly))
+        gt_by_class = gt_from_dota_dir(cfg.data.val_gt_dir, cfg.data.names)
+
+    out = evaluate_detections(
+        dict(dets_by_class), gt_by_class, cfg.data.names,
+        ovthresh=cfg.eval.iou_thres, use_07_metric=cfg.eval.use_07_metric,
+    )
+    out["images_per_sec"] = n_imgs / max(t_infer, 1e-9)
+    out["n_images"] = n_imgs
+    if verbose:
+        for cname, res in out["per_class"].items():
+            print(f"{cname:20s} AP50 {res['ap']:.4f}")
+        print(f"mAP50 {out['map50']:.4f}  ({out['images_per_sec']:.1f} img/s)")
+    return out

@@ -196,7 +196,14 @@ def _level_loss(bbox_pred, cls_pred, anchors, assign, gt_boxes, gt_classes,
     matched_boxes = jnp.take_along_axis(gt_boxes, gt_idx[..., None], axis=1)
     matched_cls = jnp.take_along_axis(gt_classes, gt_idx, axis=1)
 
-    reg_targets = rboxes_encode(anchors.astype(jnp.float32), matched_boxes)
+    anchors = anchors.astype(jnp.float32)
+    # Non-positive slots would encode padded gt rows (w=h=0 -> log(0) = -inf,
+    # and inf * 0-mask = NaN in the backward pass). Substitute the anchor
+    # itself: encode(anchor, anchor) == 0, so masked slots stay loss- and
+    # grad-free. (The JAX answer to DDP find_unused_parameters.)
+    matched_boxes = jnp.where(pos[..., None], matched_boxes, anchors)
+
+    reg_targets = rboxes_encode(anchors, matched_boxes)
     reg_loss = smooth_l1_loss(bbox_pred.astype(jnp.float32), reg_targets,
                               smooth_beta)
     reg_loss = (reg_loss * pos).sum()
@@ -336,10 +343,15 @@ def s2anet_get_bboxes(
     anchors = jnp.concatenate(anchors_cat, axis=1)
     boxes = rboxes_decode(anchors, deltas)  # [B, N, 5]
 
-    def _single(bx, sc):
+    def _single(args):
+        bx, sc = args
         return multiclass_nms_rotated(
             bx, sc, score_thr, iou_thr, max_per_img=max_per_img,
             pre_nms_cap=pre_nms_cap,
         )
 
-    return jax.vmap(_single)(boxes, scores)
+    # lax.map (not vmap): keeps the per-image [K, K] IoU matrix in its natural
+    # {1,0} layout — vmapping gives it a batch-minor layout that XLA pads 32x
+    # (8 GB for batch 4, K=4096). NMS is the cheap tail; sequencing it per
+    # image costs little and bounds memory at one K x K buffer.
+    return jax.lax.map(_single, (boxes, scores))

@@ -89,8 +89,14 @@ def poly_intersection_area(poly1: np.ndarray, poly2: np.ndarray) -> float:
 def iou_poly(poly1, poly2) -> float:
     """IoU of two convex polygons given as [N,2] arrays or flat [2N] sequences.
 
-    Oracle twin of polyiou.cpp:121-143 (`iou_poly`).
+    Oracle twin of the reference's `iou_poly`; uses the native C++ kernel when
+    available (s2anet_tpu/native), falling back to pure NumPy.
     """
+    from .. import native
+
+    r = native.iou_poly_native(poly1, poly2)
+    if r is not None:
+        return r
     p1 = np.asarray(poly1, dtype=np.float64).reshape(-1, 2)
     p2 = np.asarray(poly2, dtype=np.float64).reshape(-1, 2)
     a1 = abs(polygon_area(_ensure_ccw(p1)))
@@ -118,6 +124,11 @@ def rbox_vertices_np(rboxes: np.ndarray) -> np.ndarray:
 
 def box_iou_rotated_np(boxes1: np.ndarray, boxes2: np.ndarray) -> np.ndarray:
     """Pairwise rotated-box IoU, double precision. boxes: [N,5]/[M,5] -> [N,M]."""
+    from .. import native
+
+    r = native.rbox_iou_matrix_native(boxes1, boxes2)
+    if r is not None:
+        return r
     b1 = np.asarray(boxes1, dtype=np.float64).reshape(-1, 5)
     b2 = np.asarray(boxes2, dtype=np.float64).reshape(-1, 5)
     v1 = rbox_vertices_np(b1)

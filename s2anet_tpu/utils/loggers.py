@@ -1,0 +1,79 @@
+"""Metric logging: CSV always, TensorBoard when available.
+
+Parity: /root/reference/utils/loggers/__init__.py:40-181 (csv results +
+TB scalars; the same key set — 4 train losses, P/R/mAP50, 4 val losses,
+LR). W&B is intentionally not bundled; the CSV schema is its superset.
+"""
+
+from __future__ import annotations
+
+import csv
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+LOG_KEYS = (
+    "train/fam_cls_loss", "train/fam_reg_loss",
+    "train/odm_cls_loss", "train/odm_reg_loss",
+    "metrics/precision", "metrics/recall", "metrics/mAP_0.5",
+    "val/fam_cls_loss", "val/fam_reg_loss",
+    "val/odm_cls_loss", "val/odm_reg_loss",
+    "lr/0",
+)
+
+
+class Loggers:
+    def __init__(self, save_dir, use_tensorboard: bool = True):
+        self.save_dir = Path(save_dir)
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        self.csv_path = self.save_dir / "results.csv"
+        self._csv_keys = None
+        self.tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tb = SummaryWriter(str(self.save_dir))
+            except Exception:
+                self.tb = None
+
+    def log_metrics(self, metrics: Dict[str, float], step: int):
+        metrics = {"epoch_or_step": step, **metrics}
+        write_header = not self.csv_path.exists()
+        if self._csv_keys is None:
+            self._csv_keys = list(metrics.keys())
+        with open(self.csv_path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._csv_keys, extrasaction="ignore")
+            if write_header:
+                w.writeheader()
+            w.writerow(metrics)
+        if self.tb is not None:
+            for k, v in metrics.items():
+                if isinstance(v, (int, float)):
+                    self.tb.add_scalar(k, v, step)
+
+    def close(self):
+        if self.tb is not None:
+            self.tb.flush()
+            self.tb.close()
+
+
+class Profile:
+    """Wall-clock accumulator context manager (general.py:100-113 analogue;
+    device sync is the caller's business — wrap jax.block_until_ready)."""
+
+    def __init__(self):
+        self.t = 0.0
+        self.n = 0
+
+    def __enter__(self):
+        self._start = time.perf_counter()
+        return self
+
+    def __exit__(self, *a):
+        self.t += time.perf_counter() - self._start
+        self.n += 1
+
+    @property
+    def avg(self):
+        return self.t / max(self.n, 1)

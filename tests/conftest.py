@@ -26,6 +26,10 @@ jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
+# XLA:CPU's default conv/matmul precision is low (~1e-3 rel error) — force
+# full fp32 so golden/parity tests measure algorithm semantics, not backend rounding.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 
 @pytest.fixture
 def rng():

@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Train S2ANet-TPU (CLI parity with /root/reference/train.py:471-542).
+
+Examples:
+  python train.py --data-root /data/dota_split/images --epochs 12 --batch-size 8
+  python train.py --config configs/dota_r50.yaml --resume runs/train/exp/weights/last
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def parse_opt():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="", help="yaml config path")
+    p.add_argument("--data-root", default="", help="train images dir or list txt")
+    p.add_argument("--val-root", default="", help="val images dir or list txt")
+    p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--num-classes", type=int, default=15)
+    p.add_argument("--epochs", type=int, default=12)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--img-size", type=int, default=1024)
+    p.add_argument("--lr0", type=float, default=0.005)
+    p.add_argument("--lr-schedule", default="step",
+                   choices=["step", "cosine", "linear"])
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save-dir", default="runs/train/exp")
+    p.add_argument("--resume", default="", help="checkpoint dir to resume from")
+    p.add_argument("--noval", action="store_true")
+    return p.parse_args()
+
+
+def main(opt):
+    from s2anet_tpu.train.trainer import Trainer
+    from s2anet_tpu.utils.config import load_config
+
+    overrides = {
+        "model": {"backbone": opt.backbone, "num_classes": opt.num_classes},
+        "data": {
+            "root": opt.data_root,
+            "train_list": opt.data_root,
+            "val_list": opt.val_root,
+            "img_size": opt.img_size,
+        },
+        "train": {
+            "epochs": opt.epochs,
+            "batch_size": opt.batch_size,
+            "lr0": opt.lr0,
+            "lr_schedule": opt.lr_schedule,
+            "dtype": opt.dtype,
+            "seed": opt.seed,
+            "save_dir": opt.save_dir,
+            "val_every_epoch": not opt.noval,
+        },
+    }
+    cfg = load_config(opt.config or None, overrides)
+    trainer = Trainer(cfg)
+    trainer.train(resume=opt.resume or None)
+
+
+if __name__ == "__main__":
+    main(parse_opt())

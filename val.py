@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Evaluate S2ANet-TPU on DOTA val chips (CLI parity with /root/reference/val.py).
+
+Runs batched jit inference, then either chip-level mAP (--map-split, the
+default like the reference) or cross-chip merge + full-image mAP.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def parse_opt():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="")
+    p.add_argument("--weights", default="", help="checkpoint dir (train-state or deploy)")
+    p.add_argument("--data-root", default="", help="val images dir or list txt")
+    p.add_argument("--gt-dir", default="", help="full-image DOTA labelTxt dir (merge mode)")
+    p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--num-classes", type=int, default=15)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--img-size", type=int, default=1024)
+    p.add_argument("--conf-thres", type=float, default=0.05)
+    p.add_argument("--iou-thres", type=float, default=0.5)
+    p.add_argument("--no-map-split", action="store_true",
+                   help="merge chips to full images before eval")
+    p.add_argument("--no-ema", action="store_true")
+    return p.parse_args()
+
+
+def main(opt):
+    import jax
+
+    from s2anet_tpu.eval.runner import evaluate_on_chips
+    from s2anet_tpu.models.detector import S2ANet
+    from s2anet_tpu.train.checkpoint import load_checkpoint
+    from s2anet_tpu.train.optim import build_optimizer
+    from s2anet_tpu.train.state import create_train_state
+    from s2anet_tpu.utils.config import load_config
+    import jax.numpy as jnp
+
+    overrides = {
+        "model": {
+            "backbone": opt.backbone,
+            "num_classes": opt.num_classes,
+            "score_thr": opt.conf_thres,
+            "nms_iou_thr": opt.iou_thres,
+        },
+        "data": {"val_list": opt.data_root, "root": opt.data_root,
+                 "img_size": opt.img_size, "val_gt_dir": opt.gt_dir},
+        "eval": {"batch_size": opt.batch_size,
+                 "is_map_split": not opt.no_map_split},
+    }
+    cfg = load_config(opt.config or None, overrides)
+
+    model = S2ANet(
+        backbone_name=cfg.model.backbone,
+        num_classes=cfg.model.num_classes,
+        strides=tuple(cfg.model.strides),
+    )
+    s = cfg.data.img_size
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, s, s, 3)), train=False
+    )
+    tx = build_optimizer(lambda _: 0.0, params_example=variables["params"])
+    state = create_train_state(
+        variables["params"], variables.get("batch_stats", {}), tx
+    )
+    if opt.weights:
+        state = load_checkpoint(opt.weights, jax.device_get(state))
+
+    out = evaluate_on_chips(model, state, cfg, use_ema=not opt.no_ema,
+                            verbose=True)
+    print(json.dumps({
+        "map50": out["map50"], "precision": out["mp"], "recall": out["mr"],
+        "images_per_sec": out["images_per_sec"],
+    }))
+
+
+if __name__ == "__main__":
+    main(parse_opt())
