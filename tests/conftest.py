@@ -19,6 +19,11 @@ import pytest
 
 import jax
 
+# The environment pre-sets jax_platforms="axon,cpu" programmatically (the
+# TPU-tunnel plugin), which overrides the JAX_PLATFORMS env var — force the
+# config itself so tests really run on the virtual 8-device CPU backend.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: whole-detector CPU compiles take minutes;
 # cache them across test runs.
 _cache_dir = os.environ.get("JAX_TEST_CACHE", "/tmp/jax_test_cache")
