@@ -25,26 +25,56 @@ import jax.numpy as jnp
 from .iou_rotated import box_iou_rotated
 
 
-def _greedy_sweep(iou, alive0):
-    """Sequential greedy suppression.
+def _greedy_sweep(overlap, alive0, block: int = 128):
+    """Greedy suppression over score-descending candidates, blocked.
+
+    Two-phase structure mirroring the reference CUDA kernel's 64-wide bitmask
+    tiles + sequential sweep (nms_rotated_cuda.cu:14-125), but fully on-device:
+
+      * the K-long sequential dependency chain is walked in ``block``-sized
+        tiles: an inner fori_loop sweeps the [block, block] diagonal tile
+        (small, VMEM-resident), then one vectorized [block, K] step applies
+        the tile's survivors to all later candidates;
+      * a naive K-step loop over [K, K] HBM rows is ~block-times more loop
+        iterations of HBM traffic (and crashed the TPU runtime outright at
+        K=4096).
 
     Args:
-      iou:   [K, K] IoU of score-descending candidates.
-      alive0: [K] initial validity.
+      overlap: [K, K] bool — True where candidate i suppresses candidate j
+        (already thresholded + label-masked). Only the upper triangle is used.
+      alive0:  [K] bool initial validity.
 
     Returns:
       [K] bool — survivors, in the same (sorted) order.
     """
-    k = iou.shape[0]
-    idx = jnp.arange(k)
+    k = overlap.shape[0]
+    if k % block != 0:
+        pad = (-k) % block
+        overlap = jnp.pad(overlap, ((0, pad), (0, pad)))
+        alive0 = jnp.pad(alive0, (0, pad))
+        return _greedy_sweep(overlap, alive0, block)[:k]
 
-    def body(i, alive):
-        row = jax.lax.dynamic_index_in_dim(iou, i, keepdims=False)
-        suppress = (row > 0.0) & (idx > i) & alive[i]
-        return alive & ~suppress
+    n_blocks = k // block
+    ridx = jnp.arange(block)
+    cidx = jnp.arange(k)
 
-    # Pre-threshold the matrix once so `body` only compares against 0.
-    return jax.lax.fori_loop(0, k, body, alive0)
+    def outer(b, alive):
+        start = b * block
+        tile = jax.lax.dynamic_slice(overlap, (start, start), (block, block))
+        a_b = jax.lax.dynamic_slice(alive, (start,), (block,))
+
+        def inner(r, a):
+            sup = tile[r] & (ridx > r) & a[r]
+            return a & ~sup
+
+        a_b = jax.lax.fori_loop(0, block, inner, a_b)
+        alive = jax.lax.dynamic_update_slice(alive, a_b, (start,))
+        # bulk-suppress every later candidate hit by a surviving row
+        rows = jax.lax.dynamic_slice(overlap, (start, 0), (block, k))
+        hit = jnp.any(rows & a_b[:, None], axis=0)
+        return alive & ~(hit & (cidx >= start + block))
+
+    return jax.lax.fori_loop(0, n_blocks, outer, alive0)
 
 
 @functools.partial(jax.jit, static_argnames=("block_n",))
@@ -68,8 +98,7 @@ def nms_rotated(boxes, scores, iou_thr: float = 0.5, valid=None, block_n: int = 
     order = jnp.argsort(-s)
     b = boxes[order]
     iou = box_iou_rotated(b, b, block_n=block_n)
-    iou = jnp.where(iou > iou_thr, iou, 0.0)
-    alive = _greedy_sweep(iou, valid[order])
+    alive = _greedy_sweep(iou > iou_thr, valid[order])
     return jnp.zeros((k,), bool).at[order].set(alive)
 
 
@@ -92,8 +121,7 @@ def ml_nms_rotated(
     lab = labels[order]
     iou = box_iou_rotated(b, b, block_n=block_n)
     same = lab[:, None] == lab[None, :]
-    iou = jnp.where(same & (iou > iou_thr), iou, 0.0)
-    alive = _greedy_sweep(iou, valid[order])
+    alive = _greedy_sweep(same & (iou > iou_thr), valid[order])
     return jnp.zeros((k,), bool).at[order].set(alive)
 
 
@@ -136,8 +164,7 @@ def multiclass_nms_rotated(
 
     iou = box_iou_rotated(cand_boxes, cand_boxes, block_n=block_n)
     same = cand_labels[:, None] == cand_labels[None, :]
-    iou = jnp.where(same & (iou > iou_thr), iou, 0.0)
-    alive = _greedy_sweep(iou, cand_valid)
+    alive = _greedy_sweep(same & (iou > iou_thr), cand_valid)
 
     kept_scores = jnp.where(alive, top_scores, -1.0)
     sel_scores, sel = jax.lax.top_k(kept_scores, min(max_per_img, k))

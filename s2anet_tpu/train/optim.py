@@ -39,12 +39,14 @@ def freeze_mask(params, frozen_stages: int = -1):
         keys = [p.key if hasattr(p, "key") else str(p) for p in path]
         if "backbone" not in keys:
             return True
-        for k in keys:
-            if k in ("conv1", "bn1") and frozen_stages >= 0:
-                return False
-            for stage in range(1, 5):
-                if k.startswith(f"layer{stage}_") and stage <= frozen_stages:
-                    return False
+        # only the module directly under `backbone` decides the stage —
+        # blocks also contain submodules named conv1/bn1
+        sub = keys[keys.index("backbone") + 1]
+        if sub in ("conv1", "bn1"):
+            return False  # stem frozen whenever frozen_stages >= 0
+        if sub.startswith("layer"):
+            stage = int(sub[5])
+            return stage > frozen_stages
         return True
 
     return jax.tree_util.tree_map_with_path(trainable, params)
