@@ -109,22 +109,48 @@ def _intersection_candidates(pts1, pts2):
 def _convex_area_from_candidates(cand, valid):
     """Area of the convex polygon spanned by masked candidate points.
 
-    Orders points by angle around the masked centroid (valid for convex sets),
-    pads invalid slots with the first ordered valid point, applies shoelace.
+    The candidates of a convex intersection can be ordered by angle around
+    their masked centroid. Instead of an argsort + gather (XLA sorts are
+    ~100x slower than elementwise work on TPU — they made this op take
+    seconds), ranks come from an all-pairs comparison matrix and the shoelace
+    sum is evaluated directly through a successor-selection matrix:
+
+      rank_i   = #{j : ang_j < ang_i, ties by slot index}
+      succ_i   = (rank_i + 1) mod num_valid
+      area     = 0.5 * | sum_{i,j} [rank_j == succ_i] * cross(p_i, p_j) |
+
+    Everything is comparisons + masked sums over fixed [*, 24, 24] tiles —
+    pure VPU work with no data movement.
     """
+    nslot = cand.shape[-2]
     num = valid.sum(-1)
     w = valid.astype(cand.dtype)
     denom = jnp.maximum(num.astype(cand.dtype), 1.0)
     ctr = (cand * w[..., None]).sum(-2) / denom[..., None]
-    rel = cand - ctr[..., None, :]
+    rel = jnp.where(valid[..., None], cand - ctr[..., None, :], 0.0)
     ang = jnp.arctan2(rel[..., 1], rel[..., 0])
-    ang = jnp.where(valid, ang, jnp.inf)  # invalid slots sort last
-    order = jnp.argsort(ang, axis=-1)
-    q = jnp.take_along_axis(rel, order[..., None], axis=-2)
-    vq = jnp.take_along_axis(valid, order, axis=-1)
-    first = q[..., 0:1, :]
-    q = jnp.where(vq[..., None], q, first)  # pad with first vertex => zero terms
-    area = 0.5 * jnp.abs(_cross(q, jnp.roll(q, -1, axis=-2)).sum(-1))
+    big = jnp.asarray(1e30, ang.dtype)
+    ang = jnp.where(valid, ang, big)  # invalid slots rank last
+
+    idx = jnp.arange(nslot)
+    ang_i = ang[..., :, None]  # i rows
+    ang_j = ang[..., None, :]  # j cols
+    less = (ang_j < ang_i) | ((ang_j == ang_i) & (idx[None, :] < idx[:, None]))
+    rank = less.sum(-1)  # [*, 24] — 0..num-1 for valid slots
+
+    succ = jnp.where(rank == num[..., None] - 1, 0, rank + 1)
+    sel = (
+        valid[..., :, None]
+        & valid[..., None, :]
+        & (rank[..., None, :] == succ[..., :, None])
+    )
+    # cross(p_i, p_j) over all pairs, masked by the successor matrix
+    xi = rel[..., :, 0:1]
+    yi = rel[..., :, 1:2]
+    xj = rel[..., None, :, 0]
+    yj = rel[..., None, :, 1]
+    cross_ij = xi * yj - xj * yi  # [*, i, j]
+    area = 0.5 * jnp.abs(jnp.where(sel, cross_ij, 0.0).sum((-1, -2)))
     return jnp.where(num > 2, area, 0.0)
 
 
