@@ -68,6 +68,56 @@ def bilinear_sample_nhwc(feat, py, px):
     return out.reshape(b, *out_shape, c)
 
 
+def bilinear_patch_sample(feat, py, px):
+    """Bilinear sampling via ONE 2x2xC patch gather per position.
+
+    Four separate row gathers run at ~50 GB/s on TPU; a single `lax.gather`
+    with slice_sizes (1, 2, 2, C) moves the same bytes at ~2x the rate and
+    one quarter of the op count. Zero-padding outside the image is realized
+    through the interpolation weights: corner row r contributes
+    ``max(0, 1 - |py - r|)``, which vanishes for out-of-range coordinates,
+    while the patch origin is clamped into the array.
+
+    Args:
+      feat: ``[B, H, W, C]``.
+      py, px: ``[B, P]`` float sample coordinates.
+
+    Returns:
+      ``[B, P, C]``.
+    """
+    b, h, w, c = feat.shape
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    cy = jnp.clip(y0.astype(jnp.int32), 0, h - 2)
+    cx = jnp.clip(x0.astype(jnp.int32), 0, w - 2)
+
+    idx = jnp.stack([cy, cx], axis=-1)  # [B, P, 2]
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    patch = jax.lax.gather(
+        feat, idx, dn, slice_sizes=(1, 2, 2, c),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # [B, P, 2, 2, C]
+
+    ry = cy.astype(py.dtype)
+    rx = cx.astype(px.dtype)
+    wy = jnp.stack(
+        [jnp.maximum(0.0, 1.0 - jnp.abs(py - ry)),
+         jnp.maximum(0.0, 1.0 - jnp.abs(py - (ry + 1.0)))], axis=-1
+    )  # [B, P, 2]
+    wx = jnp.stack(
+        [jnp.maximum(0.0, 1.0 - jnp.abs(px - rx)),
+         jnp.maximum(0.0, 1.0 - jnp.abs(px - (rx + 1.0)))], axis=-1
+    )
+    wgt = (wy[..., :, None] * wx[..., None, :]).astype(patch.dtype)
+    return (patch * wgt[..., None]).sum(axis=(2, 3))
+
+
 @functools.partial(jax.jit, static_argnames=("kernel_size",))
 def deform_conv2d(x, offsets, weight, bias=None, kernel_size: int = 3):
     """Deformable conv, stride 1, same padding, NHWC.
@@ -94,9 +144,9 @@ def deform_conv2d(x, offsets, weight, bias=None, kernel_size: int = 3):
     for t in range(k * k):
         ky = t // k - pad
         kx = t % k - pad
-        py = gy + ky + offsets[..., t, 0]
-        px = gx + kx + offsets[..., t, 1]
-        s = bilinear_sample_nhwc(x, py, px)  # [B,H,W,Cin]
+        py = (gy + ky + offsets[..., t, 0]).reshape(b, h * w)
+        px = (gx + kx + offsets[..., t, 1]).reshape(b, h * w)
+        s = bilinear_patch_sample(x, py, px)  # [B, H*W, Cin]
         acc = acc + jax.lax.dot_general(
             s.reshape(b * h * w, cin),
             w_taps[t],
