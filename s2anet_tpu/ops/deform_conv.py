@@ -86,6 +86,13 @@ def bilinear_patch_sample(feat, py, px):
       ``[B, P, C]``.
     """
     b, h, w, c = feat.shape
+    if h < 2 or w < 2:
+        # degenerate maps (e.g. P7 of tiny test images): zero-pad to 2x2 —
+        # identical to zero-pad sampling semantics (the reference DeformConv
+        # pads sub-kernel inputs too, models/dcn/deform_conv.py:254-263)
+        feat = jnp.pad(feat, ((0, 0), (0, max(2 - h, 0)), (0, max(2 - w, 0)),
+                              (0, 0)))
+        h, w = max(h, 2), max(w, 2)
     y0 = jnp.floor(py)
     x0 = jnp.floor(px)
     cy = jnp.clip(y0.astype(jnp.int32), 0, h - 2)
