@@ -126,7 +126,8 @@ def ml_nms_rotated(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_per_img", "pre_nms_cap", "block_n")
+    jax.jit,
+    static_argnames=("max_per_img", "pre_nms_cap", "block_n", "small_tier"),
 )
 def multiclass_nms_rotated(
     bboxes,
@@ -136,6 +137,7 @@ def multiclass_nms_rotated(
     max_per_img: int = 2000,
     pre_nms_cap: int = 4096,
     block_n: int = 256,
+    small_tier: int = 512,
 ):
     """Per-image multiclass rotated NMS with fixed output capacity.
 
@@ -143,6 +145,13 @@ def multiclass_nms_rotated(
     duplicated per class, filtered by ``score_thr``, suppressed per-class,
     capped at ``max_per_img``. Dynamic shapes are replaced by a fixed
     ``pre_nms_cap`` top-k candidate buffer and a validity mask.
+
+    Adaptive cost, exact semantics: candidates are score-sorted, so when at
+    most ``small_tier`` of them pass the score threshold, NMS over the first
+    ``small_tier`` slice is *identical* to NMS over all of them. A
+    ``lax.cond`` dispatches to the small tier at runtime — on trained models
+    (hundreds of candidates above 0.05 per chip) this skips ~94% of the
+    pairwise IoU work. Set ``small_tier=0`` to disable.
 
     Args:
       bboxes: ``[N, 5]`` decoded rotated boxes.
@@ -162,9 +171,26 @@ def multiclass_nms_rotated(
     cand_labels = (top_idx % c).astype(jnp.int32)
     cand_valid = top_scores > score_thr
 
-    iou = box_iou_rotated(cand_boxes, cand_boxes, block_n=block_n)
-    same = cand_labels[:, None] == cand_labels[None, :]
-    alive = _greedy_sweep(same & (iou > iou_thr), cand_valid)
+    def sweep_slice(kk):
+        def run(_):
+            iou = box_iou_rotated(
+                cand_boxes[:kk], cand_boxes[:kk], block_n=min(block_n, kk)
+            )
+            same = cand_labels[:kk, None] == cand_labels[None, :kk]
+            alive_k = _greedy_sweep(same & (iou > iou_thr), cand_valid[:kk])
+            return jnp.pad(alive_k, (0, k - kk))
+
+        return run
+
+    if 0 < small_tier < k:
+        n_valid = cand_valid.sum()
+        alive = jax.lax.cond(
+            n_valid <= small_tier, sweep_slice(small_tier), sweep_slice(k),
+            operand=None,
+        )
+    else:
+        alive = sweep_slice(k)(None)
+    alive = alive & cand_valid
 
     kept_scores = jnp.where(alive, top_scores, -1.0)
     sel_scores, sel = jax.lax.top_k(kept_scores, min(max_per_img, k))
