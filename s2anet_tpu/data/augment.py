@@ -119,3 +119,102 @@ def filter_polys_center_inside(polys: np.ndarray, img_h: int, img_w: int):
     cx = polys[:, 0::2].mean(axis=1)
     cy = polys[:, 1::2].mean(axis=1)
     return (cx >= 0) & (cx < img_w) & (cy >= 0) & (cy < img_h)
+
+
+def random_perspective_rotation(
+    img: np.ndarray,
+    polys: np.ndarray,
+    degrees: float = 0.0,
+    translate: float = 0.0,
+    scale: float = 0.0,
+    rng: Optional[np.random.Generator] = None,
+):
+    """Affine warp of image + polygon corners (rotated-box analogue of the
+    reference's random_perspective_rotation, augmentations.py:93-229).
+
+    Free rotation is sampled in 90-degree multiples when ``degrees > 0``
+    (augmentations.py:115-118 — arbitrary angles would distort the min-area
+    rectangles); translate/scale apply continuous jitter. Boxes whose center
+    leaves the canvas are dropped by the caller via
+    :func:`filter_polys_center_inside`.
+    """
+    import cv2
+
+    rng = rng or np.random.default_rng()
+    h, w = img.shape[:2]
+    if degrees > 0:
+        img, polys = rot90_image_and_polys(img, polys, int(rng.integers(0, 4)))
+        h, w = img.shape[:2]
+
+    s = 1.0 + rng.uniform(-scale, scale) if scale > 0 else 1.0
+    tx = rng.uniform(0.5 - translate, 0.5 + translate) * w - w / 2 if translate else 0.0
+    ty = rng.uniform(0.5 - translate, 0.5 + translate) * h - h / 2 if translate else 0.0
+    if s == 1.0 and tx == 0.0 and ty == 0.0:
+        return img, polys
+    m = np.array([[s, 0, tx + (1 - s) * w / 2],
+                  [0, s, ty + (1 - s) * h / 2]], np.float64)
+    img = cv2.warpAffine(img, m, (w, h), borderValue=(114, 114, 114))
+    if len(polys):
+        pts = polys.reshape(-1, 4, 2)
+        pts = pts * s + np.array([m[0, 2], m[1, 2]])
+        polys = pts.reshape(-1, 8)
+    return img, polys
+
+
+def mixup(img1, polys1, cls1, img2, polys2, cls2,
+          rng: Optional[np.random.Generator] = None):
+    """Beta(32, 32) image blend with label union (augmentations.py:230-238)."""
+    rng = rng or np.random.default_rng()
+    r = rng.beta(32.0, 32.0)
+    img = (img1.astype(np.float32) * r
+           + img2.astype(np.float32) * (1 - r)).astype(img1.dtype)
+    polys = np.concatenate([polys1, polys2], 0)
+    cls = np.concatenate([cls1, cls2], 0)
+    return img, polys, cls
+
+
+def mosaic4(samples, img_size: int, pad_value: int = 114,
+            rng: Optional[np.random.Generator] = None):
+    """4-image mosaic (datasets_rotation.py:603-660 analogue).
+
+    Args:
+      samples: list of 4 (img BGR uint8, polys [N,8] px, cls [N]) at any size.
+
+    Returns:
+      (mosaic img [2*img_size]^2, polys, cls) — the caller typically follows
+      with a random crop/letterbox back to img_size.
+    """
+    import cv2
+
+    rng = rng or np.random.default_rng()
+    s = img_size
+    yc = int(rng.uniform(s * 0.5, s * 1.5))
+    xc = int(rng.uniform(s * 0.5, s * 1.5))
+    canvas = np.full((2 * s, 2 * s, 3), pad_value, np.uint8)
+    out_polys, out_cls = [], []
+    for i, (img, polys, cls) in enumerate(samples):
+        h, w = img.shape[:2]
+        if i == 0:   # top-left
+            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+            x1b, y1b = w - (x2a - x1a), h - (y2a - y1a)
+        elif i == 1:  # top-right
+            x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, 2 * s), yc
+            x1b, y1b = 0, h - (y2a - y1a)
+        elif i == 2:  # bottom-left
+            x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(yc + h, 2 * s)
+            x1b, y1b = w - (x2a - x1a), 0
+        else:         # bottom-right
+            x1a, y1a, x2a, y2a = xc, yc, min(xc + w, 2 * s), min(yc + h, 2 * s)
+            x1b, y1b = 0, 0
+        canvas[y1a:y2a, x1a:x2a] = img[y1b:y1b + (y2a - y1a),
+                                       x1b:x1b + (x2a - x1a)]
+        if len(polys):
+            p = polys.copy()
+            p[:, 0::2] += x1a - x1b
+            p[:, 1::2] += y1a - y1b
+            out_polys.append(p)
+            out_cls.append(cls)
+    polys = np.concatenate(out_polys, 0) if out_polys else np.zeros((0, 8))
+    cls = np.concatenate(out_cls, 0) if out_cls else np.zeros((0,), np.int32)
+    keep = filter_polys_center_inside(polys, 2 * s, 2 * s)
+    return canvas, polys[keep], cls[keep]

@@ -73,6 +73,10 @@ class DotaDataset:
         flipud: float = 0.0,
         rot90: bool = True,
         hsv=(0.0, 0.0, 0.0),
+        mosaic: float = 0.0,
+        mixup: float = 0.0,
+        translate: float = 0.0,
+        scale: float = 0.0,
         pad_value: int = 114,
         class_names: Optional[Sequence[str]] = None,
     ):
@@ -83,6 +87,10 @@ class DotaDataset:
         self.flipud = flipud
         self.rot90 = rot90
         self.hsv = hsv
+        self.mosaic = mosaic
+        self.mixup = mixup
+        self.translate = translate
+        self.scale = scale
         self.pad_value = pad_value
         self.class_names = class_names
 
@@ -111,8 +119,8 @@ class DotaDataset:
             raise FileNotFoundError(self.img_files[i])
         return img
 
-    def get_sample(self, i: int, rng: Optional[np.random.Generator] = None) -> Dict:
-        rng = rng or np.random.default_rng()
+    def _load_fitted(self, i: int):
+        """Image letterboxed to img_size + pixel-space polygons + classes."""
         img = self.load_image(i)  # BGR uint8
         h0, w0 = img.shape[:2]
         label = self.labels[i]
@@ -120,10 +128,41 @@ class DotaDataset:
         polys = label[:, 1:].copy()
         polys[:, 0::2] *= w0
         polys[:, 1::2] *= h0
-
         if (h0, w0) != (self.img_size, self.img_size):
             img, ratio, pad = A.letterbox(img, self.img_size, self.pad_value)
             polys = A.scale_polys(polys, ratio, pad)
+        return img, polys, cls, (h0, w0)
+
+    def get_sample(self, i: int, rng: Optional[np.random.Generator] = None) -> Dict:
+        import cv2
+
+        rng = rng or np.random.default_rng()
+        img, polys, cls, (h0, w0) = self._load_fitted(i)
+
+        if self.augment and rng.uniform() < self.mosaic:
+            others = [
+                self._load_fitted(int(rng.integers(0, len(self))))[:3]
+                for _ in range(3)
+            ]
+            canvas, polys, cls = A.mosaic4(
+                [(img, polys, cls)] + list(others), self.img_size,
+                self.pad_value, rng,
+            )
+            # 2s x 2s mosaic back to s x s
+            img = cv2.resize(canvas, (self.img_size, self.img_size),
+                             interpolation=cv2.INTER_LINEAR)
+            polys = polys * 0.5
+
+        if self.augment and rng.uniform() < self.mixup:
+            j = int(rng.integers(0, len(self)))
+            img2, polys2, cls2, _ = self._load_fitted(j)
+            img, polys, cls = A.mixup(img, polys, cls, img2, polys2, cls2, rng)
+
+        if self.augment and (self.translate or self.scale):
+            img, polys = A.random_perspective_rotation(
+                img, polys, degrees=0.0, translate=self.translate,
+                scale=self.scale, rng=rng,
+            )
 
         if self.augment:
             if any(self.hsv):

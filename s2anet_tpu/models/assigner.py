@@ -37,6 +37,7 @@ from ..ops.iou_rotated import box_iou_rotated
         "filter_invalid_anchors",
         "filter_invalid_ious",
         "block_n",
+        "gt_tier",
     ),
 )
 def assign_labels(
@@ -50,6 +51,7 @@ def assign_labels(
     filter_invalid_anchors: bool = True,
     filter_invalid_ious: bool = True,
     block_n: int = 2048,
+    gt_tier: int = 64,
 ):
     """Assign each anchor a gt index / negative / ignore code.
 
@@ -58,11 +60,33 @@ def assign_labels(
       gt_boxes: ``[G, 5]`` padded gt rotated boxes.
       gt_mask:  ``[G]`` bool — True for real gt rows.
       imgs_size: (h, w) for the anchor-validity test.
+      gt_tier: adaptive-cost dispatch — padded gt rows are a suffix, so when
+        at most ``gt_tier`` rows are real, assigning against the first
+        ``gt_tier`` slots is exact and skips most of the [A, G] IoU work
+        (typical DOTA chips carry well under 64 instances). 0 disables.
 
     Returns:
       ``assign [A] int32`` (gt index, -1 negative, -2 ignore) and
       ``max_iou [A] float32`` (max IoU over real gts, for diagnostics).
     """
+    g = gt_boxes.shape[0]
+    if 0 < gt_tier < g:
+        kwargs = dict(
+            imgs_size=imgs_size, pos_iou_thr=pos_iou_thr,
+            neg_iou_thr=neg_iou_thr, min_pos_iou_thr=min_pos_iou_thr,
+            filter_invalid_anchors=filter_invalid_anchors,
+            filter_invalid_ious=filter_invalid_ious, block_n=block_n,
+            gt_tier=0,
+        )
+        return jax.lax.cond(
+            gt_mask.sum() <= gt_tier,
+            lambda _: assign_labels(
+                anchors, gt_boxes[:gt_tier], gt_mask[:gt_tier], **kwargs
+            ),
+            lambda _: assign_labels(anchors, gt_boxes, gt_mask, **kwargs),
+            operand=None,
+        )
+
     a = anchors.shape[0]
     img_h, img_w = imgs_size
 

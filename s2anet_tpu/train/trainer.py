@@ -113,6 +113,10 @@ class Trainer:
             flipud=cfg.data.flipud,
             rot90=cfg.data.degrees > 0,
             hsv=(cfg.data.hsv_h, cfg.data.hsv_s, cfg.data.hsv_v),
+            mosaic=cfg.data.mosaic,
+            mixup=cfg.data.mixup,
+            translate=cfg.data.translate,
+            scale=cfg.data.scale,
             class_names=cfg.data.names,
         )
         loader = BatchLoader(

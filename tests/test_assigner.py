@@ -151,3 +151,38 @@ def test_assign_many_random_configs(rng):
         # exact match on >=99% of anchors and no structural disagreements
         agree = (np.asarray(got) == want).mean()
         assert agree >= 0.99, f"trial {trial}: agreement {agree}"
+
+
+def test_assign_gt_tier_exactness(rng):
+    """The adaptive gt tier must not change results when few gts are real."""
+    anchors = make_anchors(img=128, stride=16)
+    gt = np.array([[60, 60, 40, 20, 0.3], [30, 90, 30, 10, 1.0]], np.float32)
+    boxes = np.zeros((128, 5), np.float32)
+    cls = np.zeros((128,), np.int32)
+    mask = np.zeros((128,), bool)
+    boxes[:2] = gt
+    mask[:2] = True
+    a_tier, m_tier = assign_labels(
+        jnp.asarray(anchors), jnp.asarray(boxes), jnp.asarray(mask),
+        imgs_size=(128, 128), gt_tier=64,
+    )
+    a_full, m_full = assign_labels(
+        jnp.asarray(anchors), jnp.asarray(boxes), jnp.asarray(mask),
+        imgs_size=(128, 128), gt_tier=0,
+    )
+    np.testing.assert_array_equal(np.asarray(a_tier), np.asarray(a_full))
+    # and when MORE than tier gts are real, the big path runs and matches too
+    mask[:80] = True
+    boxes[2:80] = np.stack([
+        rng.uniform(10, 118, 78), rng.uniform(10, 118, 78),
+        rng.uniform(10, 60, 78), rng.uniform(5, 30, 78),
+        rng.uniform(-PI / 4, 3 * PI / 4, 78)], axis=1)
+    a_tier2, _ = assign_labels(
+        jnp.asarray(anchors), jnp.asarray(boxes), jnp.asarray(mask),
+        imgs_size=(128, 128), gt_tier=64,
+    )
+    a_full2, _ = assign_labels(
+        jnp.asarray(anchors), jnp.asarray(boxes), jnp.asarray(mask),
+        imgs_size=(128, 128), gt_tier=0,
+    )
+    np.testing.assert_array_equal(np.asarray(a_tier2), np.asarray(a_full2))

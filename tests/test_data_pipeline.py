@@ -210,3 +210,54 @@ def test_fliplr_polys():
     out = A.fliplr_polys(100, polys)
     np.testing.assert_allclose(out[0, 0::2], [90, 70, 70, 90])
     np.testing.assert_allclose(out[0, 1::2], polys[0, 1::2])
+
+
+def test_mosaic4_and_mixup(rng):
+    imgs = [rng.integers(0, 255, (64, 64, 3)).astype(np.uint8) for _ in range(4)]
+    polys = [np.array([[10, 10, 30, 10, 30, 20, 10, 20]], float)] * 4
+    cls = [np.array([i], np.int32) for i in range(4)]
+    canvas, out_polys, out_cls = A.mosaic4(
+        list(zip(imgs, polys, cls)), 64, rng=np.random.default_rng(0))
+    assert canvas.shape == (128, 128, 3)
+    assert len(out_polys) == len(out_cls) <= 4
+    assert (out_polys[:, 0::2] >= -64).all() and (out_polys[:, 0::2] < 192).all()
+
+    m_img, m_polys, m_cls = A.mixup(
+        imgs[0], polys[0], cls[0], imgs[1], polys[1], cls[1],
+        np.random.default_rng(0))
+    assert m_img.shape == imgs[0].shape
+    assert len(m_polys) == 2 and len(m_cls) == 2
+
+
+def test_random_perspective_scale(rng):
+    img = np.full((64, 64, 3), 100, np.uint8)
+    polys = np.array([[16, 16, 48, 16, 48, 32, 16, 32]], float)
+    out_img, out_polys = A.random_perspective_rotation(
+        img, polys, degrees=0.0, translate=0.0, scale=0.3,
+        rng=np.random.default_rng(1))
+    assert out_img.shape == img.shape
+    # box stays centered around image center under pure scaling about center
+    c_in = polys.reshape(4, 2).mean(0)
+    c_out = out_polys.reshape(4, 2).mean(0)
+    d_in = np.abs(c_in - 32).max()
+    d_out = np.abs(c_out - 32).max()
+    assert d_out <= d_in * 1.4 + 1e-6
+
+
+def test_dataset_mosaic_smoke(tmp_path, rng):
+    import cv2
+    from s2anet_tpu.data.dota import DotaDataset
+
+    img_dir = tmp_path / "images"
+    lbl_dir = tmp_path / "labels"
+    img_dir.mkdir(); lbl_dir.mkdir()
+    for i in range(4):
+        cv2.imwrite(str(img_dir / f"im{i}.png"),
+                    rng.integers(0, 255, (96, 96, 3)).astype(np.uint8))
+        (lbl_dir / f"im{i}.txt").write_text(
+            "1 0.2 0.2 0.6 0.2 0.6 0.4 0.2 0.4\n")
+    ds = DotaDataset(img_dir, img_size=96, max_gt=8, augment=True,
+                     mosaic=1.0, mixup=1.0, translate=0.1, scale=0.2)
+    s = ds.get_sample(0, np.random.default_rng(0))
+    assert s["imgs"].shape == (96, 96, 3)
+    assert s["gt_boxes"].shape == (8, 5)
