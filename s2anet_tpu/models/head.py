@@ -253,12 +253,37 @@ def compute_s2anet_loss(
     refine_all = jnp.concatenate(outputs["refine_anchors"], axis=1)  # [B, A, 5]
     refine_all = jax.lax.stop_gradient(refine_all)
 
-    fam_assign, _ = jax.vmap(
-        lambda gtb, gtm: assign_labels(init_all, gtb, gtm, imgs_size=imgs_size)
-    )(gt_boxes, gt_mask)
-    odm_assign, _ = jax.vmap(
-        lambda anc, gtb, gtm: assign_labels(anc, gtb, gtm, imgs_size=imgs_size)
-    )(refine_all, gt_boxes, gt_mask)
+    # Adaptive gt capacity, decided at BATCH level: under vmap a lax.cond
+    # becomes a select (both branches execute), so the tier dispatch must sit
+    # outside the vmap. Padded gt rows are a suffix, hence assigning against
+    # the first-k slots is exact whenever every image has <= k real gts.
+    g_cap = gt_boxes.shape[1]
+
+    def assign_with(k):
+        def run(_):
+            fam, _ = jax.vmap(
+                lambda gtb, gtm: assign_labels(
+                    init_all, gtb, gtm, imgs_size=imgs_size, gt_tier=0
+                )
+            )(gt_boxes[:, :k], gt_mask[:, :k])
+            odm, _ = jax.vmap(
+                lambda anc, gtb, gtm: assign_labels(
+                    anc, gtb, gtm, imgs_size=imgs_size, gt_tier=0
+                )
+            )(refine_all, gt_boxes[:, :k], gt_mask[:, :k])
+            return fam, odm
+
+        return run
+
+    gt_tier = 64
+    if 0 < gt_tier < g_cap:
+        n_max = gt_mask.sum(-1).max()
+        fam_assign, odm_assign = jax.lax.cond(
+            n_max <= gt_tier, assign_with(gt_tier), assign_with(g_cap),
+            operand=None,
+        )
+    else:
+        fam_assign, odm_assign = assign_with(g_cap)(None)
 
     fam_total_pos = jnp.maximum((fam_assign >= 0).sum(), b).astype(jnp.float32)
     odm_total_pos = jnp.maximum((odm_assign >= 0).sum(), b).astype(jnp.float32)

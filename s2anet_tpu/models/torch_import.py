@@ -133,11 +133,11 @@ def convert_reference_s2anet(state_dict: Dict, arch: str = "resnet50"):
     }
     for k, v in sd.items():
         if k.startswith("backbone.backbone.0.0."):
-            bb["conv1." + k.split(".", 3)[3]] = v
+            bb["conv1." + k[len("backbone.backbone.0.0."):]] = v
         elif k.startswith("backbone.backbone.0.1."):
-            bb["bn1." + k.split(".", 3)[3]] = v
+            bb["bn1." + k[len("backbone.backbone.0.1."):]] = v
         elif k.startswith("backbone.backbone.1.1."):
-            bb["layer1." + k.split(".", 3)[3]] = v
+            bb["layer1." + k[len("backbone.backbone.1.1."):]] = v
         else:
             m = re.match(r"backbone\.backbone\.([234])\.(.+)", k)
             if m:

@@ -125,6 +125,168 @@ def bilinear_patch_sample(feat, py, px):
     return (patch * wgt[..., None]).sum(axis=(2, 3))
 
 
+def _tap_positions(x_shape, offsets, t, k, dtype):
+    b, h, w, _ = x_shape
+    pad = (k - 1) // 2
+    gy = jnp.arange(h, dtype=dtype)[None, :, None]
+    gx = jnp.arange(w, dtype=dtype)[None, None, :]
+    ky = t // k - pad
+    kx = t % k - pad
+    py = (gy + ky + offsets[..., t, 0]).reshape(b, h * w)
+    px = (gx + kx + offsets[..., t, 1]).reshape(b, h * w)
+    return py, px
+
+
+def _corner_data(x_shape, py, px):
+    """Clamped patch origins + the 2-point weights along each axis."""
+    _, h, w, _ = x_shape
+    h2, w2 = max(h, 2), max(w, 2)
+    cy = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, h2 - 2)
+    cx = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, w2 - 2)
+    ry = cy.astype(py.dtype)
+    rx = cx.astype(px.dtype)
+    wy = (jnp.maximum(0.0, 1.0 - jnp.abs(py - ry)),
+          jnp.maximum(0.0, 1.0 - jnp.abs(py - (ry + 1.0))))
+    wx = (jnp.maximum(0.0, 1.0 - jnp.abs(px - rx)),
+          jnp.maximum(0.0, 1.0 - jnp.abs(px - (rx + 1.0))))
+    # d(weight)/d(position): -sign(p - r) where the hat is active
+    dwy = (jnp.where(jnp.abs(py - ry) < 1.0, -jnp.sign(py - ry), 0.0),
+           jnp.where(jnp.abs(py - ry - 1.0) < 1.0,
+                     -jnp.sign(py - ry - 1.0), 0.0))
+    dwx = (jnp.where(jnp.abs(px - rx) < 1.0, -jnp.sign(px - rx), 0.0),
+           jnp.where(jnp.abs(px - rx - 1.0) < 1.0,
+                     -jnp.sign(px - rx - 1.0), 0.0))
+    return cy, cx, wy, wx, dwy, dwx
+
+
+@jax.custom_vjp
+def _deform_core(x, offsets, weight):
+    """Deformable conv core (no bias), custom VJP.
+
+    The autodiff transpose of the patch gather is an XLA scatter per
+    tap-corner with 2x2 slice windows — measured 5.8 s/call at P3 on v5e. The
+    hand-written backward recomputes the cheap forward gathers and issues one
+    fused row-scatter per tap (~100 ms total), plus MXU matmuls for the
+    weight grad and closed-form bilinear derivatives for the offset grad
+    (same math as the reference's col2im/col2im_coord CUDA kernels,
+    models/dcn/src/deform_conv_cuda_kernel.cu:279-433, re-derived).
+    """
+    out, _ = _deform_fwd(x, offsets, weight)
+    return out
+
+
+def _deform_fwd(x, offsets, weight):
+    b, h, w, cin = x.shape
+    k = weight.shape[0]
+    cout = weight.shape[-1]
+    w_taps = weight.reshape(k * k, cin, cout)
+
+    acc = jnp.zeros((b, h, w, cout), jnp.promote_types(x.dtype, jnp.float32))
+    for t in range(k * k):
+        py, px = _tap_positions(x.shape, offsets, t, k, x.dtype)
+        s = bilinear_patch_sample(x, py, px)  # [B, H*W, Cin]
+        acc = acc + jax.lax.dot_general(
+            s.reshape(b * h * w, cin),
+            w_taps[t],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(b, h, w, cout)
+    return acc.astype(x.dtype), (x, offsets, weight)
+
+
+def _deform_bwd(res, g):
+    x, offsets, weight = res
+    b, h, w, cin = x.shape
+    k = weight.shape[0]
+    cout = weight.shape[-1]
+    hw = h * w
+    h2, w2 = max(h, 2), max(w, 2)
+    w_taps = weight.reshape(k * k, cin, cout)
+
+    g_flat = g.reshape(b, hw, cout).astype(jnp.float32)
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None] * (h2 * w2)
+
+    dx_flat = jnp.zeros((b * h2 * w2, cin), jnp.float32)
+    dw = jnp.zeros((k * k, cin, cout), jnp.float32)
+    d_off = []
+    for t in range(k * k):
+        py, px = _tap_positions(x.shape, offsets, t, k, x.dtype)
+        cy, cx, wy, wx, dwy, dwx = _corner_data(x.shape, py, px)
+
+        # dL/d(sample_t) = g @ W_t^T : [B, HW, Cin]
+        dsamp = jax.lax.dot_general(
+            g_flat.reshape(b * hw, cout), w_taps[t].astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(b, hw, cin)
+
+        # weight grad: dW_t = s_t^T @ g
+        s = bilinear_patch_sample(x, py, px).reshape(b * hw, cin)
+        dw = dw.at[t].set(
+            jax.lax.dot_general(
+                s.astype(jnp.float32), g_flat.reshape(b * hw, cout),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+
+        # input grad: one fused scatter over the 4 corners of this tap
+        idx4, upd4 = [], []
+        for dy_ in (0, 1):
+            for dx_ in (0, 1):
+                wgt = (wy[dy_] * wx[dx_]).astype(jnp.float32)  # [B, HW]
+                idx = bidx + (cy + dy_) * w2 + (cx + dx_)      # [B, HW]
+                idx4.append(idx.reshape(-1))
+                upd4.append((dsamp * wgt[..., None]).reshape(-1, cin))
+        dx_flat = dx_flat.at[jnp.concatenate(idx4)].add(
+            jnp.concatenate(upd4)
+        )
+
+        # offset grad: dL/dpy = sum_c dsamp_c * sum_corners v * dwy * wx
+        patch = _gather_patch(x, cy, cx).astype(jnp.float32)  # [B, HW, 2, 2, C]
+        v_dot = (patch * dsamp[:, :, None, None, :]).sum(-1)  # [B, HW, 2, 2]
+        gy_ = sum(
+            v_dot[..., dy_, dx_] * dwy[dy_].astype(jnp.float32)
+            * wx[dx_].astype(jnp.float32)
+            for dy_ in (0, 1) for dx_ in (0, 1)
+        )
+        gx_ = sum(
+            v_dot[..., dy_, dx_] * wy[dy_].astype(jnp.float32)
+            * dwx[dx_].astype(jnp.float32)
+            for dy_ in (0, 1) for dx_ in (0, 1)
+        )
+        d_off.append(jnp.stack([gy_, gx_], axis=-1))  # [B, HW, 2]
+
+    dx = dx_flat.reshape(b, h2, w2, cin)[:, :h, :w].astype(x.dtype)
+    d_offsets = jnp.stack(d_off, axis=2).reshape(offsets.shape).astype(
+        offsets.dtype
+    )
+    return dx, d_offsets, dw.reshape(weight.shape).astype(weight.dtype)
+
+
+def _gather_patch(feat, cy, cx):
+    """[B, H, W, C] + clamped origins [B, P] -> [B, P, 2, 2, C] patches."""
+    b, h, w, c = feat.shape
+    if h < 2 or w < 2:
+        feat = jnp.pad(feat, ((0, 0), (0, max(2 - h, 0)), (0, max(2 - w, 0)),
+                              (0, 0)))
+    idx = jnp.stack([cy, cx], axis=-1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    return jax.lax.gather(
+        feat, idx, dn, slice_sizes=(1, 2, 2, c),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )
+
+
+_deform_core.defvjp(_deform_fwd, _deform_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("kernel_size",))
 def deform_conv2d(x, offsets, weight, bias=None, kernel_size: int = 3):
     """Deformable conv, stride 1, same padding, NHWC.
@@ -138,31 +300,11 @@ def deform_conv2d(x, offsets, weight, bias=None, kernel_size: int = 3):
     Returns:
       ``[B, H, W, Cout]``.
     """
-    b, h, w, cin = x.shape
-    k = kernel_size
-    cout = weight.shape[-1]
-    w_taps = weight.reshape(k * k, cin, cout)
-
-    gy = jnp.arange(h, dtype=x.dtype)[None, :, None]
-    gx = jnp.arange(w, dtype=x.dtype)[None, None, :]
-    pad = (k - 1) // 2
-
-    acc = jnp.zeros((b, h, w, cout), jnp.promote_types(x.dtype, jnp.float32))
-    for t in range(k * k):
-        ky = t // k - pad
-        kx = t % k - pad
-        py = (gy + ky + offsets[..., t, 0]).reshape(b, h * w)
-        px = (gx + kx + offsets[..., t, 1]).reshape(b, h * w)
-        s = bilinear_patch_sample(x, py, px)  # [B, H*W, Cin]
-        acc = acc + jax.lax.dot_general(
-            s.reshape(b * h * w, cin),
-            w_taps[t],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(b, h, w, cout)
+    assert weight.shape[0] == kernel_size
+    out = _deform_core(x, offsets, weight)
     if bias is not None:
-        acc = acc + bias
-    return acc.astype(x.dtype)
+        out = out + bias.astype(out.dtype)
+    return out
 
 
 def align_conv_offsets(anchors, featmap_size, stride: float, kernel_size: int = 3):

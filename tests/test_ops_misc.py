@@ -162,3 +162,51 @@ def test_align_conv_offsets_rotation_geometry():
     sample_x = xc + off[0, :, :, 4, 1]
     np.testing.assert_allclose(sample_y, 12.0 / stride, atol=1e-5)
     np.testing.assert_allclose(sample_x, 20.0 / stride, atol=1e-5)
+
+
+def _deform_naive(x, offsets, weight, kernel_size=3):
+    """Reference implementation via plain autodiff-able per-corner sampling."""
+    b, h, w, cin = x.shape
+    k = kernel_size
+    cout = weight.shape[-1]
+    w_taps = weight.reshape(k * k, cin, cout)
+    gy = jnp.arange(h, dtype=x.dtype)[None, :, None]
+    gx = jnp.arange(w, dtype=x.dtype)[None, None, :]
+    pad = (k - 1) // 2
+    acc = jnp.zeros((b, h, w, cout), jnp.float32)
+    for t in range(k * k):
+        ky, kx = t // k - pad, t % k - pad
+        py = gy + ky + offsets[..., t, 0]
+        px = gx + kx + offsets[..., t, 1]
+        s = bilinear_sample_nhwc(x, py, px)
+        acc = acc + jnp.einsum("bhwc,co->bhwo", s, w_taps[t])
+    return acc
+
+
+def test_deform_conv_custom_vjp_matches_autodiff(rng):
+    b, h, w, cin, cout = 2, 6, 7, 4, 3
+    x = jnp.asarray(rng.normal(size=(b, h, w, cin)).astype(np.float32))
+    off = jnp.asarray(rng.normal(size=(b, h, w, 9, 2)).astype(np.float32))
+    wgt = jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32) * 0.2)
+    g_out = jnp.asarray(rng.normal(size=(b, h, w, cout)).astype(np.float32))
+
+    def loss_custom(x, off, wgt):
+        return (deform_conv2d(x, off, wgt) * g_out).sum()
+
+    def loss_naive(x, off, wgt):
+        return (_deform_naive(x, off, wgt) * g_out).sum()
+
+    gc = jax.grad(loss_custom, argnums=(0, 1, 2))(x, off, wgt)
+    gn = jax.grad(loss_naive, argnums=(0, 1, 2))(x, off, wgt)
+    np.testing.assert_allclose(np.asarray(gc[0]), np.asarray(gn[0]),
+                               rtol=1e-4, atol=1e-4)  # d/dx
+    np.testing.assert_allclose(np.asarray(gc[2]), np.asarray(gn[2]),
+                               rtol=1e-4, atol=1e-4)  # d/dweight
+    # offset grads: hat-function kinks make isolated points ambiguous between
+    # implementations; compare where positions are safely non-integral
+    frac_ok = np.asarray(
+        (jnp.abs(off - jnp.round(off)) > 1e-3).all(-1)
+    )
+    d_off_c = np.asarray(gc[1])[frac_ok]
+    d_off_n = np.asarray(gn[1])[frac_ok]
+    np.testing.assert_allclose(d_off_c, d_off_n, rtol=1e-3, atol=1e-3)
