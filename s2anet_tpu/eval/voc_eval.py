@@ -67,7 +67,7 @@ def voc_eval_class(
     npos = 0
     for img, objs in gt.items():
         polys = [np.asarray(p, dtype=np.float64).reshape(8) for p, _ in objs]
-        difficult = np.array([bool(d) for _, d in objs])
+        difficult = np.array([bool(d) for _, d in objs], dtype=bool)
         npos += int((~difficult).sum())
         class_gt[img] = {
             "polys": polys,

@@ -34,6 +34,14 @@ def make_mesh(n_devices: Optional[int] = None, axes: Sequence[str] = ("data",)) 
     return Mesh(devices.reshape(shape), axes)
 
 
+def make_mesh_for_batch(*batch_sizes: int, axes: Sequence[str] = ("data",)) -> Mesh:
+    """Largest mesh over available devices that evenly divides every batch."""
+    n = len(jax.devices())
+    while n > 1 and any(b % n for b in batch_sizes):
+        n -= 1
+    return make_mesh(n, axes)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis sharding over the data axis."""
     return NamedSharding(mesh, P("data"))

@@ -23,7 +23,7 @@ import numpy as np
 
 from ..data.dota import BatchLoader, DotaDataset
 from ..models.detector import S2ANet
-from ..parallel.mesh import make_mesh, replicate_state, shard_batch
+from ..parallel.mesh import make_mesh_for_batch, replicate_state, shard_batch
 from ..parallel.step import make_eval_step, make_train_step
 from ..utils.callbacks import Callbacks
 from ..utils.config import Config
@@ -57,7 +57,9 @@ class Trainer:
             norm_eval=cfg.model.norm_eval,
             with_orconv=cfg.model.with_orconv,
         )
-        self.mesh = make_mesh()
+        self.mesh = make_mesh_for_batch(
+            cfg.train.batch_size, cfg.eval.batch_size
+        )
 
     # ------------------------------------------------------------------
     def build_state(self, steps_per_epoch: int, pretrained_backbone=None):
