@@ -110,7 +110,9 @@ def evaluate_on_chips(model, state, cfg, mesh=None, dataset=None,
         b = imgs.shape[0]
         if b < cfg.eval.batch_size:  # pad to static batch
             pad = cfg.eval.batch_size - b
-            imgs = np.concatenate([imgs, np.zeros_like(imgs[:pad])], 0)
+            imgs = np.concatenate(
+                [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)], 0
+            )
         if mesh is not None:
             from ..parallel.mesh import shard_batch
 

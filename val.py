@@ -68,7 +68,23 @@ def main(opt):
         variables["params"], variables.get("batch_stats", {}), tx
     )
     if opt.weights:
-        state = load_checkpoint(opt.weights, jax.device_get(state))
+        try:
+            state = load_checkpoint(opt.weights, jax.device_get(state))
+        except Exception:
+            # deploy checkpoint (params + batch_stats only, strip_for_deploy)
+            from s2anet_tpu.train.checkpoint import load_deploy
+
+            deploy = load_deploy(
+                opt.weights,
+                {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})},
+            )
+            state = state.replace(
+                params=deploy["params"],
+                batch_stats=deploy["batch_stats"],
+                ema_params=deploy["params"],
+                ema_batch_stats=deploy["batch_stats"],
+            )
 
     out = evaluate_on_chips(model, state, cfg, use_ema=not opt.no_ema,
                             verbose=True)
