@@ -22,7 +22,42 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .iou_rotated import box_iou_rotated
+from .iou_rotated import _iou_block, box_iou_rotated
+
+
+def _overlap_upper(boxes, block: int = 256):
+    """Upper-triangular pairwise IoU of score-sorted candidates.
+
+    Greedy NMS only consults pairs (i, j) with j > i, so the lower triangle
+    of the [K, K] matrix is dead weight — computing only the
+    (n_blocks * (n_blocks + 1) / 2) upper block-tiles saves ~45% of the
+    polygon-clip work. Tiles are produced by one lax.map over the static
+    block-pair list and stitched with dynamic_update_slice.
+    """
+    k = boxes.shape[0]
+    if k <= block:
+        return _iou_block(boxes, boxes)
+    pad = (-k) % block
+    b = jnp.pad(boxes, ((0, pad), (0, 0)))
+    kp = k + pad
+    nb = kp // block
+    pairs = [(i, j) for i in range(nb) for j in range(i, nb)]
+    pi = jnp.array([p[0] * block for p in pairs], jnp.int32)
+    pj = jnp.array([p[1] * block for p in pairs], jnp.int32)
+
+    def body(se):
+        si, sj = se
+        rows = jax.lax.dynamic_slice(b, (si, 0), (block, 5))
+        cols = jax.lax.dynamic_slice(b, (sj, 0), (block, 5))
+        return _iou_block(rows, cols)
+
+    tiles = jax.lax.map(body, (pi, pj))  # [n_pairs, block, block]
+    out = jnp.zeros((kp, kp), jnp.float32)
+    for t, (i, j) in enumerate(pairs):
+        out = jax.lax.dynamic_update_slice(
+            out, tiles[t], (i * block, j * block)
+        )
+    return out[:k, :k]
 
 
 def _greedy_sweep(overlap, alive0, block: int = 128):
@@ -97,7 +132,7 @@ def nms_rotated(boxes, scores, iou_thr: float = 0.5, valid=None, block_n: int = 
     s = jnp.where(valid, scores, -jnp.inf)
     order = jnp.argsort(-s)
     b = boxes[order]
-    iou = box_iou_rotated(b, b, block_n=block_n)
+    iou = _overlap_upper(b, block=block_n)
     alive = _greedy_sweep(iou > iou_thr, valid[order])
     return jnp.zeros((k,), bool).at[order].set(alive)
 
@@ -119,7 +154,7 @@ def ml_nms_rotated(
     order = jnp.argsort(-s)
     b = boxes[order]
     lab = labels[order]
-    iou = box_iou_rotated(b, b, block_n=block_n)
+    iou = _overlap_upper(b, block=block_n)
     same = lab[:, None] == lab[None, :]
     alive = _greedy_sweep(same & (iou > iou_thr), valid[order])
     return jnp.zeros((k,), bool).at[order].set(alive)
@@ -173,9 +208,7 @@ def multiclass_nms_rotated(
 
     def sweep_slice(kk):
         def run(_):
-            iou = box_iou_rotated(
-                cand_boxes[:kk], cand_boxes[:kk], block_n=min(block_n, kk)
-            )
+            iou = _overlap_upper(cand_boxes[:kk], block=min(block_n, kk))
             same = cand_labels[:kk, None] == cand_labels[None, :kk]
             alive_k = _greedy_sweep(same & (iou > iou_thr), cand_valid[:kk])
             return jnp.pad(alive_k, (0, k - kk))
