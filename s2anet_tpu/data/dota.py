@@ -18,11 +18,8 @@ NumPy pipeline producing fixed-shape batches:
 
 from __future__ import annotations
 
-import hashlib
-import queue
-import threading
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -21,10 +21,9 @@ streamed as overlapping spatial tiles, detected per-tile, then re-merged
 
 from __future__ import annotations
 
-import math
 from concurrent.futures import ProcessPoolExecutor
 from pathlib import Path
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Sequence, Tuple
 
 import numpy as np
 

@@ -16,7 +16,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 ARCH_SETTINGS = {
     "resnet18": ("basic", (2, 2, 2, 2)),

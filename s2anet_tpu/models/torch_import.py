@@ -18,7 +18,7 @@ Conv kernels are transposed OIHW -> HWIO (NHWC model).
 from __future__ import annotations
 
 import re
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -15,7 +15,6 @@ jit semantics is the exact version.)
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

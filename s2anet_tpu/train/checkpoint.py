@@ -62,8 +62,6 @@ def get_latest_run(search_dir="runs/train"):
 
 def strip_for_deploy(state: TrainState, out_path):
     """Keep only EMA params + batch stats, halved to bfloat16, for serving."""
-    import jax.numpy as jnp
-
     deploy = {
         "params": jax.tree_util.tree_map(
             lambda x: np.asarray(x, dtype=np.float32), state.ema_params

@@ -11,7 +11,7 @@ frozen parameters get zero updates, keeping the train step purely functional.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import optax

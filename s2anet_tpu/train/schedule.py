@@ -18,7 +18,6 @@ import math
 from typing import Callable, Sequence
 
 import jax.numpy as jnp
-import optax
 
 
 def build_lr_schedule(

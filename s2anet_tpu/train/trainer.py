@@ -24,7 +24,7 @@ import numpy as np
 from ..data.dota import BatchLoader, DotaDataset
 from ..models.detector import S2ANet
 from ..parallel.mesh import make_mesh_for_batch, replicate_state, shard_batch
-from ..parallel.step import make_eval_step, make_train_step
+from ..parallel.step import make_train_step
 from ..utils.callbacks import Callbacks
 from ..utils.config import Config
 from ..utils.loggers import Loggers

@@ -9,7 +9,6 @@ Examples:
 from __future__ import annotations
 
 import argparse
-from pathlib import Path
 
 
 def parse_opt():
