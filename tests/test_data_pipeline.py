@@ -261,3 +261,45 @@ def test_dataset_mosaic_smoke(tmp_path, rng):
     s = ds.get_sample(0, np.random.default_rng(0))
     assert s["imgs"].shape == (96, 96, 3)
     assert s["gt_boxes"].shape == (8, 5)
+
+
+def test_eval_runner_gt_glue(tmp_path, rng):
+    """gt_from_yolo_labels + detections_to_polys round trip: feeding the gt
+    back as detections must score a perfect mAP through the runner's glue."""
+    import cv2
+
+    from s2anet_tpu.data.dota import DotaDataset
+    from s2anet_tpu.eval.runner import detections_to_polys, gt_from_yolo_labels
+    from s2anet_tpu.eval.voc_eval import evaluate_detections
+    from s2anet_tpu.ops.polyiou_ref import rbox_vertices_np
+
+    img_dir = tmp_path / "images"
+    lbl_dir = tmp_path / "labels"
+    img_dir.mkdir(); lbl_dir.mkdir()
+    for i in range(3):
+        cv2.imwrite(str(img_dir / f"im{i}.png"),
+                    rng.integers(0, 255, (128, 128, 3)).astype(np.uint8))
+        (lbl_dir / f"im{i}.txt").write_text(
+            f"{i % 2} 0.2 0.2 0.6 0.2 0.6 0.4 0.2 0.4\n")
+    ds = DotaDataset(img_dir, img_size=128, max_gt=8, augment=False)
+    gt_by_class = gt_from_yolo_labels(ds, num_classes=2)
+    assert sum(len(v) for v in gt_by_class[0].values()) == 2  # im0, im2
+    assert sum(len(v) for v in gt_by_class[1].values()) == 1
+
+    dets_by_class = {0: [], 1: []}
+    for cid, per_img in gt_by_class.items():
+        for img, objs in per_img.items():
+            for poly, _ in objs:
+                dets_by_class[cid].append((img, 0.9, poly))
+    res = evaluate_detections(dets_by_class, gt_by_class, ["a", "b"])
+    assert abs(res["map50"] - 1.0) < 1e-9
+
+    # detections_to_polys: box+mask -> polygons/scores
+    det_boxes = np.zeros((5, 6))
+    det_boxes[0] = [50, 50, 30, 10, 0.4, 0.8]
+    det_valid = np.zeros(5, bool)
+    det_valid[0] = True
+    polys, scores = detections_to_polys(det_boxes, det_valid)
+    assert polys.shape == (1, 8) and scores[0] == 0.8
+    np.testing.assert_allclose(
+        polys[0], rbox_vertices_np(det_boxes[:1, :5]).reshape(8))
