@@ -77,6 +77,24 @@ def scale_polys(polys: np.ndarray, ratio: float, pad: Tuple[float, float]):
     return polys
 
 
+def unletterbox_rboxes(rboxes: np.ndarray, ratio: float,
+                       pad: Tuple[float, float],
+                       orig_shape: Optional[Tuple[int, int]] = None):
+    """Map rotated boxes from letterboxed coords back to the original image
+    (scale_coords_rotated analogue, utils/general.py:629): remove padding,
+    divide centers and sides by the resize ratio, clip centers to the image.
+    """
+    out = np.asarray(rboxes, np.float64).reshape(-1, 5).copy()
+    out[:, 0] = (out[:, 0] - pad[0]) / ratio
+    out[:, 1] = (out[:, 1] - pad[1]) / ratio
+    out[:, 2:4] /= ratio
+    if orig_shape is not None:
+        h, w = orig_shape
+        out[:, 0] = out[:, 0].clip(0, w)
+        out[:, 1] = out[:, 1].clip(0, h)
+    return out
+
+
 def fliplr_polys(img_w: int, polys: np.ndarray) -> np.ndarray:
     polys = polys.copy()
     polys[:, 0::2] = img_w - polys[:, 0::2]

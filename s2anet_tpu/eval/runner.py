@@ -40,18 +40,29 @@ def detections_to_polys(det_boxes: np.ndarray, det_valid: np.ndarray):
 
 
 def gt_from_yolo_labels(dataset: DotaDataset, num_classes: int):
-    """Chip-level GT directly from the dataset's YOLO labels."""
+    """Chip-level GT from the dataset's YOLO labels, in ORIGINAL image coords
+    (labels are normalized by the original dims; detections are un-letterboxed
+    back to the same frame before matching)."""
     gt_by_class: Dict[int, Dict] = {c: {} for c in range(num_classes)}
     size = dataset.img_size
     for img_path, label in zip(dataset.img_files, dataset.labels):
         img_name = Path(img_path).stem
+        w0 = h0 = size
+        if len(label):
+            try:  # header-only read of the original dims
+                from PIL import Image
+
+                with Image.open(img_path) as im:
+                    w0, h0 = im.size
+            except Exception:
+                pass
         for c in range(num_classes):
             gt_by_class[c].setdefault(img_name, [])
         for row in label:
             cid = int(row[0])
             poly = row[1:].copy()
-            poly[0::2] *= size
-            poly[1::2] *= size
+            poly[0::2] *= w0
+            poly[1::2] *= h0
             gt_by_class[cid][img_name].append((poly.astype(np.float64), False))
     return gt_by_class
 
@@ -128,8 +139,21 @@ def evaluate_on_chips(model, state, cfg, mesh=None, dataset=None,
         n_imgs += b
         for k in range(b):
             chip_name = Path(batch["paths"][k]).stem
+            boxes_k = det_boxes[k].copy()
+            h0, w0 = batch["orig_shapes"][k]
+            s = dataset.img_size
+            if (h0, w0) != (s, s):
+                # undo the letterbox: detections back to original chip coords
+                # (scale_coords_rotated parity, utils/general.py:629)
+                from ..data.augment import unletterbox_rboxes
+
+                ratio = min(s / h0, s / w0)
+                pad = ((s - w0 * ratio) / 2, (s - h0 * ratio) / 2)
+                boxes_k[:, :5] = unletterbox_rboxes(
+                    boxes_k[:, :5], ratio, pad, (h0, w0)
+                )
             dets = []
-            polys, scores = detections_to_polys(det_boxes[k], det_valid[k])
+            polys, scores = detections_to_polys(boxes_k, det_valid[k])
             labels = det_labels[k][det_valid[k]]
             for cid, sc, poly in zip(labels, scores, polys):
                 dets.append((int(cid), float(sc), poly))

@@ -303,3 +303,18 @@ def test_eval_runner_gt_glue(tmp_path, rng):
     assert polys.shape == (1, 8) and scores[0] == 0.8
     np.testing.assert_allclose(
         polys[0], rbox_vertices_np(det_boxes[:1, :5]).reshape(8))
+
+
+def test_unletterbox_rboxes_roundtrip():
+    from s2anet_tpu.data.augment import letterbox, unletterbox_rboxes
+
+    img = np.zeros((100, 200, 3), np.uint8)
+    out, r, pad = letterbox(img, 256)
+    # a box at original (100, 50), size (40, 20): letterbox then invert
+    orig = np.array([[100, 50, 40, 20, 0.3]])
+    boxed = orig.copy()
+    boxed[:, 0] = orig[:, 0] * r + pad[0]
+    boxed[:, 1] = orig[:, 1] * r + pad[1]
+    boxed[:, 2:4] = orig[:, 2:4] * r
+    back = unletterbox_rboxes(boxed, r, pad, (100, 200))
+    np.testing.assert_allclose(back, orig, atol=1e-9)
