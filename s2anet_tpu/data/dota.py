@@ -76,6 +76,7 @@ class DotaDataset:
         scale: float = 0.0,
         pad_value: int = 114,
         class_names: Optional[Sequence[str]] = None,
+        verify: bool = False,
     ):
         self.img_size = img_size
         self.max_gt = max_gt
@@ -102,6 +103,28 @@ class DotaDataset:
                 for line in src.read_text().splitlines()
                 if line.strip()
             ]
+        if verify:
+            # drop unreadable images up front (verify_image_label analogue,
+            # datasets_rotation.py:667-713 — fail-safe instead of mid-epoch
+            # crashes; corrupt files are reported, not silently restored)
+            ok = []
+            dropped = 0
+            for p in self.img_files:
+                try:
+                    from PIL import Image
+
+                    with Image.open(p) as im:
+                        im.verify()
+                    ok.append(p)
+                except Exception:
+                    dropped += 1
+            if dropped:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "DotaDataset: dropped %d unreadable images", dropped
+                )
+            self.img_files = ok
         self.label_files = [_img2label(p) for p in self.img_files]
         self.labels = [load_dota_label(p) for p in self.label_files]
 

@@ -240,3 +240,19 @@ def test_dota_dataset_and_loader(tmp_path, rng):
     p0 = {b["paths"][0] for b in l0}
     p1 = {b["paths"][0] for b in l1}
     assert not (p0 & p1)
+
+
+def test_dataset_verify_drops_corrupt(tmp_path, rng):
+    import cv2
+
+    from s2anet_tpu.data.dota import DotaDataset
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    cv2.imwrite(str(img_dir / "good.png"),
+                rng.integers(0, 255, (32, 32, 3)).astype(np.uint8))
+    (img_dir / "bad.png").write_bytes(b"not a png at all")
+    ds = DotaDataset(img_dir, img_size=32, verify=True)
+    assert len(ds) == 1
+    ds2 = DotaDataset(img_dir, img_size=32, verify=False)
+    assert len(ds2) == 2
