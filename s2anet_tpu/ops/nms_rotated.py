@@ -5,7 +5,8 @@ Replaces the reference's CUDA bitmask kernel + host-side bit sweep
 ml_nms variant in utils/ml_nms_rotated/) with an on-device formulation:
 
   * the pairwise rotated-IoU matrix of the (score-sorted) candidates is
-    computed with :func:`box_iou_rotated` (tiled, VPU-parallel);
+    computed in upper-triangular block tiles (greedy NMS never consults the
+    lower triangle);
   * the inherently sequential greedy sweep runs as a ``lax.fori_loop`` over
     rows of that matrix — no device->host round trip, so decode + NMS stays
     inside one jit region (the reference syncs to CPU for the bit sweep).
@@ -22,7 +23,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .iou_rotated import _iou_block, box_iou_rotated
+from .iou_rotated import _iou_block
 
 
 def _overlap_upper(boxes, block: int = 256):
