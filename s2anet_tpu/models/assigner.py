@@ -103,6 +103,39 @@ def assign_labels(
         valid = jnp.ones((a,), bool)
 
     iou = box_iou_rotated(anchors, gt_boxes, block_n=block_n)  # [A, G]
+    return assign_from_iou(
+        iou,
+        valid,
+        gt_mask,
+        pos_iou_thr=pos_iou_thr,
+        neg_iou_thr=neg_iou_thr,
+        min_pos_iou_thr=min_pos_iou_thr,
+        filter_invalid_ious=filter_invalid_ious,
+    )
+
+
+def assign_from_iou(
+    iou,
+    valid,
+    gt_mask,
+    pos_iou_thr: float = 0.5,
+    neg_iou_thr: float = 0.4,
+    min_pos_iou_thr: float = 0.0,
+    filter_invalid_ious: bool = True,
+):
+    """Assignment rules given a precomputed raw IoU matrix.
+
+    Args:
+      iou:     ``[A, G]`` rotated IoU of every anchor against every gt slot.
+      valid:   ``[A]`` bool — anchors inside the image (invalid -> ignore).
+      gt_mask: ``[G]`` bool — real (non-padded) gt rows.
+
+    Semantics mirror /root/reference/models/utils.py:33-147 exactly (see the
+    module docstring); split out so the IoU producer is pluggable (XLA vs
+    Pallas kernel) and so parity tests can feed both this and the reference
+    assigner the identical IoU matrix.
+    """
+    a = iou.shape[0]
 
     if filter_invalid_ious:
         iou = jnp.where((iou < 0) | (iou > 1), -0.5, iou)
@@ -130,7 +163,7 @@ def assign_labels(
         & (iou >= gt_best[None, :] - 1e-6)
         & (gt_best[None, :] > min_pos_iou_thr)
     )
-    g = gt_boxes.shape[0]
+    g = iou.shape[1]
     gt_ids = jnp.arange(g, dtype=jnp.int32)
     fb = jnp.where(claims, gt_ids[None, :], -1).max(axis=1)  # last claiming gt
     assign = jnp.where(fb >= 0, fb, assign)
