@@ -38,6 +38,7 @@ from ..ops.iou_rotated import box_iou_rotated
         "filter_invalid_ious",
         "block_n",
         "gt_tier",
+        "iou_impl",
     ),
 )
 def assign_labels(
@@ -52,6 +53,7 @@ def assign_labels(
     filter_invalid_ious: bool = True,
     block_n: int = 2048,
     gt_tier: int = 64,
+    iou_impl: str = "xla",
 ):
     """Assign each anchor a gt index / negative / ignore code.
 
@@ -64,6 +66,9 @@ def assign_labels(
         at most ``gt_tier`` rows are real, assigning against the first
         ``gt_tier`` slots is exact and skips most of the [A, G] IoU work
         (typical DOTA chips carry well under 64 instances). 0 disables.
+      iou_impl: "xla" (default, portable) or "pallas" — the TPU tile kernel
+        with bounding-circle tile-skip (ops/pallas/iou_kernel.py), ~2.8x
+        faster on the grid-ordered assignment workload. Numerics identical.
 
     Returns:
       ``assign [A] int32`` (gt index, -1 negative, -2 ignore) and
@@ -76,7 +81,7 @@ def assign_labels(
             neg_iou_thr=neg_iou_thr, min_pos_iou_thr=min_pos_iou_thr,
             filter_invalid_anchors=filter_invalid_anchors,
             filter_invalid_ious=filter_invalid_ious, block_n=block_n,
-            gt_tier=0,
+            gt_tier=0, iou_impl=iou_impl,
         )
         return jax.lax.cond(
             gt_mask.sum() <= gt_tier,
@@ -102,7 +107,12 @@ def assign_labels(
     else:
         valid = jnp.ones((a,), bool)
 
-    iou = box_iou_rotated(anchors, gt_boxes, block_n=block_n)  # [A, G]
+    if iou_impl == "pallas":
+        from ..ops.pallas.iou_kernel import box_iou_rotated_pallas
+
+        iou = box_iou_rotated_pallas(anchors, gt_boxes)  # [A, G]
+    else:
+        iou = box_iou_rotated(anchors, gt_boxes, block_n=block_n)  # [A, G]
     return assign_from_iou(
         iou,
         valid,

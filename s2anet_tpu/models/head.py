@@ -230,6 +230,7 @@ def compute_s2anet_loss(
     odm_balance: float = 1.0,
     reg_balance: float = 1.0,
     fpn_balance=(1.0, 1.0, 1.0, 1.0, 1.0),
+    iou_impl: str = "xla",
 ):
     """Total S2ANet loss over a batch.
 
@@ -263,12 +264,14 @@ def compute_s2anet_loss(
         def run(_):
             fam, _ = jax.vmap(
                 lambda gtb, gtm: assign_labels(
-                    init_all, gtb, gtm, imgs_size=imgs_size, gt_tier=0
+                    init_all, gtb, gtm, imgs_size=imgs_size, gt_tier=0,
+                    iou_impl=iou_impl,
                 )
             )(gt_boxes[:, :k], gt_mask[:, :k])
             odm, _ = jax.vmap(
                 lambda anc, gtb, gtm: assign_labels(
-                    anc, gtb, gtm, imgs_size=imgs_size, gt_tier=0
+                    anc, gtb, gtm, imgs_size=imgs_size, gt_tier=0,
+                    iou_impl=iou_impl,
                 )
             )(refine_all, gt_boxes[:, :k], gt_mask[:, :k])
             return fam, odm

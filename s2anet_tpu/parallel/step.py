@@ -26,6 +26,14 @@ from ..train.state import TrainState, ema_update
 from .mesh import batch_sharding, replicated
 
 
+def resolve_iou_impl(model_cfg) -> str:
+    """Resolve the assignment-IoU backend ("auto" -> Pallas on TPU)."""
+    impl = getattr(model_cfg, "assign_iou_impl", "auto") if model_cfg else "auto"
+    if impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return impl
+
+
 def make_train_step(
     model,
     tx,
@@ -45,9 +53,9 @@ def make_train_step(
     ``gt_classes [B,G]``, ``gt_mask [B,G]``. With a mesh, the batch is
     sharded on axis 0 and the state replicated.
     """
-    loss_kwargs = {}
+    loss_kwargs = {"iou_impl": resolve_iou_impl(model_cfg)}
     if model_cfg is not None:
-        loss_kwargs = dict(
+        loss_kwargs.update(
             fl_gamma=model_cfg.fl_gamma,
             fl_alpha=model_cfg.fl_alpha,
             smooth_beta=model_cfg.smooth_beta,

@@ -31,6 +31,8 @@ class ModelConfig:
     odm_balance: float = 1.0
     reg_balance: float = 1.0
     fpn_balance: Sequence[float] = (1.0, 1.0, 1.0, 1.0, 1.0)
+    # assignment IoU backend: "auto" = Pallas kernel on TPU, XLA elsewhere
+    assign_iou_impl: str = "auto"     # auto | xla | pallas
     # inference (head.py:73-76)
     score_thr: float = 0.05
     nms_iou_thr: float = 0.5

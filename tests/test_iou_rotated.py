@@ -105,3 +105,72 @@ def test_large_coordinates_precision():
     got = float(np.asarray(box_iou_rotated(b1, b2))[0, 0])
     want = box_iou_rotated_np(np.asarray(b1), np.asarray(b2))[0, 0]
     assert abs(got - want) < 5e-3
+
+
+# --- adversarial cases for the segment-clip formulation -------------------
+# The no-sort boundary tally relies on a signed-epsilon tie-break for
+# collinear twin edges; these cases hit every branch of that argument.
+
+def test_grid_aligned_touching_anchors():
+    """Same-size boxes on a grid whose edges touch EXACTLY (anchor vs anchor:
+    w == 4*stride means anchors 4 cells apart share an edge bitwise)."""
+    s = 8.0
+    boxes = np.array(
+        [[x * s, y * s, 4 * s, 4 * s, 0.0] for x in range(6) for y in range(6)],
+        np.float32,
+    )
+    got = np.asarray(box_iou_rotated(jnp.asarray(boxes), jnp.asarray(boxes)))
+    want = box_iou_rotated_np(boxes.astype(np.float64), boxes.astype(np.float64))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    # diagonal must be exactly 1 (identical boxes)
+    np.testing.assert_allclose(np.diag(got), 1.0, atol=1e-6)
+
+
+def test_stacked_touching_different_sizes():
+    """Edge-to-edge touching boxes of different heights: opposite-direction
+    collinear twin edges (the both-keep-and-cancel branch)."""
+    a = np.array([[100.0, 100.0, 80.0, 40.0, 0.0]], np.float32)
+    b = np.array([[100.0, 130.0, 60.0, 20.0, 0.0]], np.float32)  # touches y=120
+    got = float(box_iou_rotated(jnp.asarray(a), jnp.asarray(b))[0, 0])
+    assert abs(got) < 1e-5
+
+
+def test_near_identical_jitter():
+    """NMS duplicate pairs: boxes differing by sub-pixel jitter. Every edge
+    pair is collinear to float noise — IoU must stay near 1, never collapse."""
+    rng = np.random.default_rng(5)
+    base = random_boxes(rng, 200)
+    jit = base.copy()
+    jit[:, :2] += rng.uniform(-1e-3, 1e-3, (200, 2)).astype(np.float32)
+    jit[:, 4] += rng.uniform(-1e-5, 1e-5, 200).astype(np.float32)
+    got = np.asarray(
+        box_iou_rotated(jnp.asarray(base), jnp.asarray(jit))
+    ).diagonal()
+    # worst case is a high-aspect box (143x12) where the near-parallel edge
+    # crossing parameter t = c0/c1 hits fp32 cancellation (~1% IoU error —
+    # the same precision class the reference CUDA clamps around,
+    # models/utils.py:89-98). NMS/assignment thresholds sit at 0.4-0.5.
+    assert got.min() > 0.97
+    assert got.mean() > 0.995
+
+
+def test_shared_edge_partial_overlap():
+    """Boxes sharing a collinear edge segment while overlapping in area
+    (same-direction twins: the exactly-one-pass-keeps branch)."""
+    a = np.array([[50.0, 50.0, 100.0, 40.0, 0.0]], np.float32)
+    b = np.array([[80.0, 50.0, 60.0, 40.0, 0.0]], np.float32)  # same top/bottom lines
+    got = float(box_iou_rotated(jnp.asarray(a), jnp.asarray(b))[0, 0])
+    want = box_iou_rotated_np(a.astype(np.float64), b.astype(np.float64))[0, 0]
+    assert abs(got - want) < 1e-4
+
+
+def test_rotated_near_parallel(rng):
+    """Rotated pairs with nearly-parallel edges (parallel-tolerance branch)."""
+    n = 256
+    b1 = random_boxes(rng, n)
+    b2 = b1.copy()
+    b2[:, 4] += rng.uniform(-1e-6, 1e-6, n).astype(np.float32)
+    b2[:, :2] += rng.uniform(-30, 30, (n, 2)).astype(np.float32)
+    got = np.asarray(box_iou_rotated(jnp.asarray(b1), jnp.asarray(b2)))
+    want = box_iou_rotated_np(b1.astype(np.float64), b2.astype(np.float64))
+    np.testing.assert_allclose(np.diag(got), np.diag(want), atol=5e-3)
