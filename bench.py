@@ -29,18 +29,76 @@ import time
 BASELINE_CHIPS_PER_SEC = 25.0
 
 
+def _bench_loader(size: int, batch: int, n_imgs: int = 24) -> float:
+    """Measure host input-pipeline throughput on a synthetic on-disk dataset
+    (PNG decode + letterbox + augment + batch assembly, thread-prefetched)."""
+    import tempfile
+    import time as _time
+    from pathlib import Path
+
+    import cv2
+    import numpy as np
+
+    from s2anet_tpu.data.dota import BatchLoader, DotaDataset
+
+    rng = np.random.default_rng(0)
+    root = Path(tempfile.mkdtemp(prefix="bench_loader_")) / "images"
+    (root.parent / "labels").mkdir(parents=True)
+    root.mkdir()
+    for i in range(n_imgs):
+        img = rng.integers(0, 255, (size, size, 3), np.uint8)
+        cv2.imwrite(str(root / f"im{i:03d}.png"), img)
+        lines = []
+        for _ in range(20):
+            cx, cy = rng.uniform(0.2, 0.8, 2)
+            w, h = rng.uniform(0.02, 0.08, 2)
+            lines.append(
+                "3 " + " ".join(
+                    f"{v:.6f}" for v in
+                    (cx - w, cy - h, cx + w, cy - h,
+                     cx + w, cy + h, cx - w, cy + h)
+                )
+            )
+        (root.parent / "labels" / f"im{i:03d}.txt").write_text("\n".join(lines))
+    ds = DotaDataset(root, img_size=size, augment=True, max_gt=64)
+    loader = BatchLoader(ds, batch, shuffle=True, drop_last=True)
+    for _ in loader:  # warm the thread pool + page cache
+        pass
+    t0 = _time.perf_counter()
+    n = 0
+    for b in loader:
+        n += len(b["imgs"])
+    return n / (_time.perf_counter() - t0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from s2anet_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from s2anet_tpu.models.detector import S2ANet
     from s2anet_tpu.models.head import s2anet_get_bboxes
+
+    from s2anet_tpu.utils.config import ModelConfig
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     size = 1024
     n_short, n_long = 2, 6
     model = S2ANet(backbone_name="resnet50", num_classes=15)
+    # NMS/decode params = the product defaults (config.py ModelConfig), so the
+    # bench measures exactly what `val.py` runs
+    mc = ModelConfig()
+    post_kwargs = dict(
+        score_thr=mc.score_thr,
+        iou_thr=mc.nms_iou_thr,
+        max_before_nms_per_level=mc.max_before_nms_per_level,
+        max_per_img=mc.max_per_img,
+        pre_nms_cap=mc.pre_nms_cap,
+    )
 
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(
@@ -58,7 +116,7 @@ def main():
             def body(c, im):
                 out = model.apply(variables, im, train=False)
                 det_boxes, det_labels, det_valid = s2anet_get_bboxes(
-                    out, pre_nms_cap=2048
+                    out, **post_kwargs
                 )
                 return c + det_boxes.sum().astype(jnp.float32), ()
             s, _ = jax.lax.scan(body, 0.0, imgs)
@@ -83,6 +141,44 @@ def main():
     dt = min(tl) - min(ts)
     chips = (n_long - n_short) * batch
     chips_per_sec = chips / dt
+
+    # --- MFU diagnostic (stderr): model FLOP rate vs measured matmul peak ---
+    try:
+        cost = f_long.lower(variables, imgs).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        model_flops = float(cost.get("flops", 0.0))
+        per_chip_flops = model_flops / (n_long * batch)
+
+        k = 8192
+        a = jnp.ones((k, k), jnp.bfloat16)
+        mm = jax.jit(lambda a: a @ a)
+        mm(a).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(4):
+            out = mm(a)
+        out.block_until_ready()
+        peak = 4 * (2 * k**3) / (time.perf_counter() - t0)
+        mfu = (per_chip_flops * chips_per_sec) / peak
+        print(
+            f"model {per_chip_flops / 1e9:.0f} GFLOP/chip, "
+            f"measured matmul peak {peak / 1e12:.1f} TFLOP/s, "
+            f"MFU {100 * mfu:.1f}%",
+            file=sys.stderr,
+        )
+    except Exception as e:  # cost_analysis is backend-dependent
+        print(f"mfu: skipped ({e})", file=sys.stderr)
+
+    # --- host loader throughput (stderr): is the device rate feedable? ---
+    try:
+        loader_rate = _bench_loader(size, batch)
+        print(
+            f"host loader: {loader_rate:.1f} imgs/s "
+            f"({'>=':s} device rate {chips_per_sec:.1f}: "
+            f"{loader_rate >= chips_per_sec})",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"loader bench: skipped ({e})", file=sys.stderr)
 
     print(json.dumps({
         "metric": "s2anet_r50_1024_infer_throughput_e2e",

@@ -236,3 +236,26 @@ def mosaic4(samples, img_size: int, pad_value: int = 114,
     cls = np.concatenate(out_cls, 0) if out_cls else np.zeros((0,), np.int32)
     keep = filter_polys_center_inside(polys, 2 * s, 2 * s)
     return canvas, polys[keep], cls[keep]
+
+
+def mosaic_center_crop(canvas: np.ndarray, polys: np.ndarray, cls: np.ndarray,
+                       img_size: int):
+    """Center-crop the 2s x 2s mosaic canvas back to s x s.
+
+    Parity: the reference feeds the 2s canvas through
+    random_perspective_rotation with ``border=mosaic_border=(-s/2, -s/2)``
+    (datasets_rotation.py:655-660, augmentations.py:100-137) — with the warp
+    params at zero that is exactly a center crop, and crucially it PRESERVES
+    object scale (a resize would halve it). Boxes whose center falls outside
+    the crop are dropped (box_candidates_rotation_filter_center).
+    """
+    s = img_size
+    off = s // 2
+    img = np.ascontiguousarray(canvas[off:off + s, off:off + s])
+    if len(polys):
+        polys = polys.copy()
+        polys[:, 0::2] -= off
+        polys[:, 1::2] -= off
+        keep = filter_polys_center_inside(polys, s, s)
+        polys, cls = polys[keep], cls[keep]
+    return img, polys, cls

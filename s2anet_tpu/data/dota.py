@@ -77,6 +77,8 @@ class DotaDataset:
         pad_value: int = 114,
         class_names: Optional[Sequence[str]] = None,
         verify: bool = False,
+        cache_images: str = "",        # "" | "ram" | "disk"
+        cache_labels: bool = True,
     ):
         self.img_size = img_size
         self.max_gt = max_gt
@@ -126,17 +128,80 @@ class DotaDataset:
                 )
             self.img_files = ok
         self.label_files = [_img2label(p) for p in self.img_files]
-        self.labels = [load_dota_label(p) for p in self.label_files]
+        self.labels = self._load_labels(cache_labels)
+        self.cache_images = cache_images
+        self._img_cache = (
+            [None] * len(self.img_files) if cache_images == "ram" else None
+        )
+
+    # -- label cache (datasets_rotation.py:294-327: hash-validated .cache) --
+    def _cache_key(self) -> str:
+        import hashlib
+
+        h = hashlib.sha1()
+        for p in self.label_files:
+            try:
+                st = p.stat()
+                h.update(f"{p}:{st.st_mtime_ns}:{st.st_size}|".encode())
+            except OSError:
+                h.update(f"{p}:missing|".encode())
+        return h.hexdigest()
+
+    def _load_labels(self, use_cache: bool):
+        cache_path = None
+        if use_cache and self.img_files:
+            cache_path = self.img_files[0].parent / "labels.cache.npz"
+            key = self._cache_key()
+            try:
+                z = np.load(cache_path, allow_pickle=False)
+                if str(z["key"]) == key:
+                    flat, offs = z["flat"], z["offsets"]
+                    return [
+                        flat[offs[i]:offs[i + 1]].reshape(-1, 9)
+                        for i in range(len(self.img_files))
+                    ]
+            except Exception:
+                pass
+        labels = [load_dota_label(p) for p in self.label_files]
+        if cache_path is not None:
+            try:
+                flat = (np.concatenate([l.reshape(-1) for l in labels])
+                        if labels else np.zeros((0,), np.float32))
+                offs = np.zeros(len(labels) + 1, np.int64)
+                np.cumsum([l.size for l in labels], out=offs[1:])
+                np.savez(cache_path, key=np.str_(key), flat=flat, offsets=offs)
+            except Exception:
+                pass  # read-only dataset dir — cache is best-effort
+        return labels
 
     def __len__(self):
         return len(self.img_files)
 
     def load_image(self, i: int) -> np.ndarray:
+        """Decode (or fetch cached) image i, BGR uint8.
+
+        ``cache_images="ram"`` keeps decoded arrays resident (the reference's
+        --cache ram, datasets_rotation.py:360-388); ``"disk"`` stores raw
+        .npy sidecars so later epochs skip PNG decode."""
         import cv2
 
-        img = cv2.imread(str(self.img_files[i]))
+        if self._img_cache is not None and self._img_cache[i] is not None:
+            return self._img_cache[i]
+        path = self.img_files[i]
+        if self.cache_images == "disk":
+            npy = path.with_suffix(".npy")
+            if npy.exists():
+                return np.load(npy)
+        img = cv2.imread(str(path))
         if img is None:
-            raise FileNotFoundError(self.img_files[i])
+            raise FileNotFoundError(path)
+        if self._img_cache is not None:
+            self._img_cache[i] = img
+        elif self.cache_images == "disk":
+            try:
+                np.save(path.with_suffix(".npy"), img)
+            except Exception:
+                pass
         return img
 
     def _load_fitted(self, i: int):
@@ -154,8 +219,6 @@ class DotaDataset:
         return img, polys, cls, (h0, w0)
 
     def get_sample(self, i: int, rng: Optional[np.random.Generator] = None) -> Dict:
-        import cv2
-
         rng = rng or np.random.default_rng()
         img, polys, cls, (h0, w0) = self._load_fitted(i)
 
@@ -168,10 +231,11 @@ class DotaDataset:
                 [(img, polys, cls)] + list(others), self.img_size,
                 self.pad_value, rng,
             )
-            # 2s x 2s mosaic back to s x s
-            img = cv2.resize(canvas, (self.img_size, self.img_size),
-                             interpolation=cv2.INTER_LINEAR)
-            polys = polys * 0.5
+            # 2s x 2s mosaic -> scale-preserving center crop back to s x s
+            # (the reference's border=-s/2 warp, datasets_rotation.py:655-660)
+            img, polys, cls = A.mosaic_center_crop(
+                canvas, polys, cls, self.img_size
+            )
 
         if self.augment and rng.uniform() < self.mixup:
             j = int(rng.integers(0, len(self)))

@@ -17,7 +17,7 @@ from __future__ import annotations
 import time
 from collections import defaultdict
 from pathlib import Path
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import numpy as np
@@ -39,23 +39,32 @@ def detections_to_polys(det_boxes: np.ndarray, det_valid: np.ndarray):
     return polys, boxes[:, 5]
 
 
-def gt_from_yolo_labels(dataset: DotaDataset, num_classes: int):
+def gt_from_yolo_labels(dataset: DotaDataset, num_classes: int,
+                        dims: Optional[Dict[str, tuple]] = None):
     """Chip-level GT from the dataset's YOLO labels, in ORIGINAL image coords
     (labels are normalized by the original dims; detections are un-letterboxed
-    back to the same frame before matching)."""
+    back to the same frame before matching).
+
+    ``dims`` maps image stem -> (h0, w0) when the caller already knows the
+    original dims (the eval loop records them from the loader), avoiding a
+    per-image header read every epoch.
+    """
     gt_by_class: Dict[int, Dict] = {c: {} for c in range(num_classes)}
     size = dataset.img_size
     for img_path, label in zip(dataset.img_files, dataset.labels):
         img_name = Path(img_path).stem
         w0 = h0 = size
         if len(label):
-            try:  # header-only read of the original dims
-                from PIL import Image
+            if dims is not None and img_name in dims:
+                h0, w0 = dims[img_name]
+            else:
+                try:  # header-only read of the original dims
+                    from PIL import Image
 
-                with Image.open(img_path) as im:
-                    w0, h0 = im.size
-            except Exception:
-                pass
+                    with Image.open(img_path) as im:
+                        w0, h0 = im.size
+                except Exception:
+                    pass
         for c in range(num_classes):
             gt_by_class[c].setdefault(img_name, [])
         for row in label:
@@ -88,12 +97,36 @@ def gt_from_dota_dir(gt_dir, class_names, image_names=None):
     return gt_by_class
 
 
+def save_dota_results(dets_by_class, class_names, out_dir):
+    """Dump detections in the DOTA submission format: one
+    ``Task1_<classname>.txt`` per class, lines ``imgname score x1 y1 ... y4``
+    (val.py:32-57 ``save_per_class`` / :62-111 ``merge_per_class`` parity).
+    Every class gets a file (empty when no detections) so the directory is a
+    complete DOTA-server submission."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for cid, cname in enumerate(class_names):
+        lines = []
+        for img, score, poly in dets_by_class.get(cid, []):
+            coords = " ".join(f"{v:.2f}" for v in np.asarray(poly).ravel()[:8])
+            lines.append(f"{img} {score:.6f} {coords}")
+        (out_dir / f"Task1_{cname}.txt").write_text(
+            "\n".join(lines) + ("\n" if lines else "")
+        )
+    return out_dir
+
+
 def evaluate_on_chips(model, state, cfg, mesh=None, dataset=None,
-                      use_ema: bool = True, verbose: bool = False):
+                      use_ema: bool = True, verbose: bool = False,
+                      eval_step=None, with_loss: bool = False,
+                      save_dir=None):
     """Run inference over the val chips and compute mAP50.
 
-    Returns dict(map50, mp, mr, per_class, timing).
-    """
+    Returns dict(map50, mp, mr, per_class, timing; plus ``val/*_loss`` items
+    when ``with_loss``). Pass a pre-built ``eval_step`` (from
+    :func:`make_eval_step`, matching ``with_loss``) to reuse the compiled
+    program across epochs. ``save_dir`` dumps per-class DOTA-format result
+    txts (chip-level, and merged when ``is_map_split=False``)."""
     import jax.numpy as jnp
 
     dataset = dataset or DotaDataset(
@@ -107,13 +140,19 @@ def evaluate_on_chips(model, state, cfg, mesh=None, dataset=None,
         dataset, cfg.eval.batch_size, shuffle=False, drop_last=False
     )
     dtype = jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
-    eval_step = make_eval_step(
-        model, model_cfg=cfg.model, compute_dtype=dtype, mesh=mesh,
-        use_ema=use_ema,
-    )
+    if eval_step is None:
+        eval_step = make_eval_step(
+            model, model_cfg=cfg.model, compute_dtype=dtype, mesh=mesh,
+            use_ema=use_ema, with_loss=with_loss,
+            imgs_size=(cfg.data.img_size, cfg.data.img_size),
+            num_classes=cfg.model.num_classes,
+        )
 
     num_classes = cfg.model.num_classes
     chip_dets: Dict[str, list] = {}
+    chip_dims: Dict[str, tuple] = {}
+    mean_loss = np.zeros(4)
+    n_loss = 0
     t_infer = 0.0
     n_imgs = 0
     for batch in loader:
@@ -121,17 +160,31 @@ def evaluate_on_chips(model, state, cfg, mesh=None, dataset=None,
         b = imgs.shape[0]
         if b < cfg.eval.batch_size:  # pad to static batch
             pad = cfg.eval.batch_size - b
-            imgs = np.concatenate(
-                [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)], 0
-            )
+            for key in ("imgs", "gt_boxes", "gt_classes", "gt_mask"):
+                arr = batch[key]
+                batch[key] = np.concatenate(
+                    [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)], 0
+                )
+            imgs = batch["imgs"]
+        step_in = (
+            {k: batch[k] for k in
+             ("imgs", "gt_boxes", "gt_classes", "gt_mask")}
+            if with_loss else imgs
+        )
         if mesh is not None:
             from ..parallel.mesh import shard_batch
 
-            imgs_dev = shard_batch(mesh, imgs)
-        else:
-            imgs_dev = imgs
+            step_in = shard_batch(mesh, step_in)
         t0 = time.perf_counter()
-        det_boxes, det_labels, det_valid = eval_step(state, imgs_dev)
+        out = eval_step(state, step_in)
+        if with_loss:
+            det_boxes, det_labels, det_valid, loss_items = out
+            mean_loss += (
+                np.asarray(jax.device_get(loss_items)) - mean_loss
+            ) / (n_loss + 1)
+            n_loss += 1
+        else:
+            det_boxes, det_labels, det_valid = out
         det_boxes = np.asarray(jax.device_get(det_boxes))[:b]
         det_labels = np.asarray(jax.device_get(det_labels))[:b]
         det_valid = np.asarray(jax.device_get(det_valid))[:b]
@@ -158,6 +211,7 @@ def evaluate_on_chips(model, state, cfg, mesh=None, dataset=None,
             for cid, sc, poly in zip(labels, scores, polys):
                 dets.append((int(cid), float(sc), poly))
             chip_dets[chip_name] = dets
+            chip_dims[chip_name] = (h0, w0)
 
     if cfg.eval.is_map_split:
         # evaluate directly on chips against the dataset's own labels
@@ -165,14 +219,27 @@ def evaluate_on_chips(model, state, cfg, mesh=None, dataset=None,
         for chip, dets in chip_dets.items():
             for cid, sc, poly in dets:
                 dets_by_class[cid].append((chip, sc, poly))
-        gt_by_class = gt_from_yolo_labels(dataset, num_classes)
+        gt_by_class = gt_from_yolo_labels(dataset, num_classes, dims=chip_dims)
+        if save_dir is not None:
+            save_dota_results(dets_by_class, cfg.data.names,
+                              Path(save_dir) / "chip_results")
     else:
+        if save_dir is not None:
+            chip_by_class = defaultdict(list)
+            for chip, dets in chip_dets.items():
+                for cid, sc, poly in dets:
+                    chip_by_class[cid].append((chip, sc, poly))
+            save_dota_results(chip_by_class, cfg.data.names,
+                              Path(save_dir) / "chip_results")
         merged = merge_chip_detections(chip_dets, cfg.eval.merge_nms_thr)
         dets_by_class = defaultdict(list)
         for img, dets in merged.items():
             for cid, sc, poly in dets:
                 dets_by_class[cid].append((img, sc, poly))
         gt_by_class = gt_from_dota_dir(cfg.data.val_gt_dir, cfg.data.names)
+        if save_dir is not None:
+            save_dota_results(dets_by_class, cfg.data.names,
+                              Path(save_dir) / "merged_results")
 
     out = evaluate_detections(
         dict(dets_by_class), gt_by_class, cfg.data.names,
@@ -180,6 +247,12 @@ def evaluate_on_chips(model, state, cfg, mesh=None, dataset=None,
     )
     out["images_per_sec"] = n_imgs / max(t_infer, 1e-9)
     out["n_images"] = n_imgs
+    if with_loss and n_loss:
+        for i, key in enumerate(
+            ("val/fam_cls_loss", "val/fam_reg_loss",
+             "val/odm_cls_loss", "val/odm_reg_loss")
+        ):
+            out[key] = float(mean_loss[i])
     if verbose:
         for cname, res in out["per_class"].items():
             print(f"{cname:20s} AP50 {res['ap']:.4f}")

@@ -75,6 +75,35 @@ def convert_torch_resnet(state_dict: Dict, arch: str = "resnet50"):
     return params, stats
 
 
+def load_pretrained_backbone(spec: str, arch: str = "resnet50"):
+    """Resolve a ``--pretrained`` spec to ``(params, batch_stats)``.
+
+    ``spec`` is a path to a torchvision ResNet state dict (.pth / .pt), or
+    ``"auto"`` to search the local torch hub cache — the same weights the
+    reference downloads at model build (backbone.py:241-303). Raises
+    FileNotFoundError when nothing matches (no silent fall-through to random
+    init: the 70.2-mAP recipe depends on these weights).
+    """
+    from pathlib import Path
+
+    path = spec
+    if spec == "auto":
+        cache = Path.home() / ".cache" / "torch" / "hub" / "checkpoints"
+        cands = sorted(cache.glob(f"{arch}*.pth")) if cache.is_dir() else []
+        if not cands:
+            raise FileNotFoundError(
+                f"--pretrained auto: no {arch}*.pth in {cache}; pass an "
+                "explicit path to a torchvision state dict"
+            )
+        path = cands[-1]
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return convert_torch_resnet(sd, arch)
+
+
 def _convert_head(sd: Dict, prefix: str = "head.") -> Dict:
     """Reference S2ANetHead state dict -> flax head params subtree."""
     p: Dict = {}

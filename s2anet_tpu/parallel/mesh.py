@@ -36,9 +36,22 @@ def make_mesh(n_devices: Optional[int] = None, axes: Sequence[str] = ("data",)) 
 
 def make_mesh_for_batch(*batch_sizes: int, axes: Sequence[str] = ("data",)) -> Mesh:
     """Largest mesh over available devices that evenly divides every batch."""
-    n = len(jax.devices())
+    import logging
+
+    total = len(jax.devices())
+    n = total
     while n > 1 and any(b % n for b in batch_sizes):
         n -= 1
+    log = logging.getLogger(__name__)
+    if n < total:
+        log.warning(
+            "mesh: batch sizes %s not divisible by %d devices — using a "
+            "%d-device mesh (%d devices idle); pick batch sizes that divide "
+            "the device count to use the full mesh",
+            batch_sizes, total, n, total - n,
+        )
+    else:
+        log.info("mesh: %d device(s) over axes %s", n, tuple(axes))
     return make_mesh(n, axes)
 
 

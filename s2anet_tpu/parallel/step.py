@@ -42,6 +42,7 @@ def make_train_step(
     model_cfg=None,
     ema_decay: float = 0.9999,
     ema_ramp: int = 2000,
+    accumulate: int = 1,
     compute_dtype=jnp.bfloat16,
     mesh=None,
     donate: bool = True,
@@ -94,7 +95,8 @@ def make_train_step(
             opt_state=new_opt,
             batch_stats=new_bs,
         )
-        state = ema_update(state, new_params, new_bs, ema_decay, ema_ramp)
+        state = ema_update(state, new_params, new_bs, ema_decay, ema_ramp,
+                           accumulate=accumulate)
         return state, items
 
     if mesh is None:
@@ -117,11 +119,19 @@ def make_eval_step(
     mesh=None,
     use_ema: bool = True,
     max_per_img: Optional[int] = None,
+    with_loss: bool = False,
+    imgs_size=None,
+    num_classes: Optional[int] = None,
 ):
     """Build the jitted eval step: forward + decode + NMS, batched.
 
     Returns ``eval_step(state, imgs) -> (det_boxes [B,K,6], det_labels [B,K],
-    det_valid [B,K], loss_items)``.
+    det_valid [B,K])``.
+
+    With ``with_loss=True`` (the reference computes the 4 losses during val,
+    val.py:255) the step instead takes the full batch dict (imgs + padded gt)
+    and returns ``(det_boxes, det_labels, det_valid, loss_items[4])``;
+    ``imgs_size`` and ``num_classes`` are required in that mode.
     """
     post_kwargs = {}
     if model_cfg is not None:
@@ -135,23 +145,56 @@ def make_eval_step(
     elif max_per_img:
         post_kwargs = dict(max_per_img=max_per_img)
 
-    def eval_step(state: TrainState, imgs):
+    loss_kwargs = {"iou_impl": resolve_iou_impl(model_cfg)}
+    if with_loss and model_cfg is not None:
+        loss_kwargs.update(
+            fl_gamma=model_cfg.fl_gamma,
+            fl_alpha=model_cfg.fl_alpha,
+            smooth_beta=model_cfg.smooth_beta,
+            odm_balance=model_cfg.odm_balance,
+            reg_balance=model_cfg.reg_balance,
+            fpn_balance=tuple(model_cfg.fpn_balance),
+        )
+
+    def forward(state: TrainState, imgs):
         params = state.ema_params if use_ema else state.params
         bstats = state.ema_batch_stats if use_ema else state.batch_stats
-        out = model.apply(
+        return model.apply(
             {"params": params, "batch_stats": bstats},
             imgs.astype(compute_dtype),
             train=False,
         )
-        return s2anet_get_bboxes(out, **post_kwargs)
+
+    if not with_loss:
+        def eval_step(state: TrainState, imgs):
+            return s2anet_get_bboxes(forward(state, imgs), **post_kwargs)
+        out_sh = lambda bsh, rep: (bsh, bsh, bsh)  # noqa: E731
+    else:
+        def eval_step(state: TrainState, batch):
+            out = forward(state, batch["imgs"])
+            dets = s2anet_get_bboxes(out, **post_kwargs)
+            _, items = compute_s2anet_loss(
+                out,
+                batch["gt_boxes"],
+                batch["gt_classes"],
+                batch["gt_mask"],
+                imgs_size=imgs_size,
+                num_classes=num_classes,
+                **loss_kwargs,
+            )
+            return dets + (items,)
+        out_sh = lambda bsh, rep: (bsh, bsh, bsh, rep)  # noqa: E731
 
     if mesh is None:
         return jax.jit(eval_step)
 
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
+    in_batch = bsh if not with_loss else {
+        "imgs": bsh, "gt_boxes": bsh, "gt_classes": bsh, "gt_mask": bsh,
+    }
     return jax.jit(
         eval_step,
-        in_shardings=(rep, bsh),
-        out_shardings=(bsh, bsh, bsh),
+        in_shardings=(rep, in_batch),
+        out_shardings=out_sh(bsh, rep),
     )

@@ -59,6 +59,7 @@ def build_optimizer(
     grad_clip_norm: float = 35.0,
     params_example=None,
     frozen_stages: int = -1,
+    accumulate: int = 1,
 ):
     txs = []
     if grad_clip_norm and grad_clip_norm > 0:
@@ -80,4 +81,9 @@ def build_optimizer(
         tx = optax.multi_transform(
             {"trainable": tx, "frozen": optax.set_to_zero()}, frozen
         )
+    if accumulate > 1:
+        # gradient accumulation to a nominal batch (train.py:152-155:
+        # accumulate = max(round(nbs / batch_size), 1)); MultiSteps averages
+        # micro-batch grads and applies the chain every `accumulate` steps
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
     return tx

@@ -46,8 +46,23 @@ def create_train_state(params, batch_stats, tx) -> TrainState:
 
 
 def ema_update(state: TrainState, new_params, new_batch_stats,
-               base_decay: float = 0.9999, ramp: int = 2000) -> TrainState:
-    d = state.ema_decay_at(base_decay, ramp)
+               base_decay: float = 0.9999, ramp: int = 2000,
+               accumulate: int = 1) -> TrainState:
+    """Blend EMA toward the current params.
+
+    With gradient accumulation (``accumulate`` micro-steps per optimizer
+    update, train.py:152-155/383 parity) the EMA only moves on sync
+    micro-steps — the decay ramp counts optimizer updates, and non-sync
+    steps use d=1 (a no-op blend), matching the reference's
+    ``ema.update(model)`` placement inside the accumulate branch.
+    """
+    if accumulate > 1:
+        upd = (state.step // accumulate).astype(jnp.float32)
+        d = base_decay * (1.0 - jnp.exp(-upd / ramp))
+        sync = (state.step % accumulate) == 0
+        d = jnp.where(sync, d, 1.0)
+    else:
+        d = state.ema_decay_at(base_decay, ramp)
 
     def blend(ema, new):
         return ema * d + new.astype(ema.dtype) * (1.0 - d)

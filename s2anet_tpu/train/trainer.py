@@ -61,6 +61,14 @@ class Trainer:
             cfg.train.batch_size, cfg.eval.batch_size
         )
 
+    @property
+    def accumulate(self) -> int:
+        """Micro-steps per optimizer update (train.py:152-155 parity)."""
+        nbs = self.cfg.train.nominal_batch_size
+        if not nbs:
+            return 1
+        return max(round(nbs / self.cfg.train.batch_size), 1)
+
     # ------------------------------------------------------------------
     def build_state(self, steps_per_epoch: int, pretrained_backbone=None):
         cfg = self.cfg
@@ -71,6 +79,12 @@ class Trainer:
         )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        if pretrained_backbone is None and cfg.train.pretrained:
+            from ..models.torch_import import load_pretrained_backbone
+
+            pretrained_backbone = load_pretrained_backbone(
+                cfg.train.pretrained, cfg.model.backbone
+            )
         if pretrained_backbone is not None:
             bb_params, bb_stats = pretrained_backbone
             params = dict(params)
@@ -78,16 +92,19 @@ class Trainer:
             batch_stats = dict(batch_stats)
             batch_stats["backbone"] = bb_stats
 
-        total_steps = cfg.train.epochs * steps_per_epoch
+        acc = self.accumulate
+        # with accumulation the optimizer (and its LR schedule) only sees
+        # one update per `acc` micro-steps
+        total_steps = cfg.train.epochs * steps_per_epoch // acc
         self.lr_fn = build_lr_schedule(
             cfg.train.lr0,
             total_steps,
-            steps_per_epoch,
+            max(steps_per_epoch // acc, 1),
             schedule=cfg.train.lr_schedule,
             decay_epochs_frac=tuple(cfg.train.lr_decay_epochs),
             decay_factor=cfg.train.lr_decay_factor,
             lrf=cfg.train.lrf,
-            warmup_iters=cfg.train.warmup_iters,
+            warmup_iters=max(cfg.train.warmup_iters // acc, 1),
             warmup_init_factor=cfg.train.warmup_init_factor,
         )
         self.tx = build_optimizer(
@@ -97,6 +114,7 @@ class Trainer:
             grad_clip_norm=cfg.train.grad_clip_norm,
             params_example=params,
             frozen_stages=cfg.model.frozen_stages,
+            accumulate=acc,
         )
         state = create_train_state(params, batch_stats, self.tx)
         return replicate_state(self.mesh, state)
@@ -120,6 +138,7 @@ class Trainer:
             translate=cfg.data.translate,
             scale=cfg.data.scale,
             class_names=cfg.data.names,
+            cache_images=cfg.data.cache,
         )
         loader = BatchLoader(
             train_ds, cfg.train.batch_size, shuffle=True, seed=cfg.train.seed
@@ -140,10 +159,13 @@ class Trainer:
             model_cfg=cfg.model,
             ema_decay=cfg.train.ema_decay,
             ema_ramp=cfg.train.ema_ramp_updates,
+            accumulate=self.accumulate,
             compute_dtype=dtype,
             mesh=self.mesh,
         )
 
+        if cfg.train.plots:
+            self._plot_label_stats(train_ds)
         self.callbacks.run("on_train_start")
         best_fitness = float(jax.device_get(state.best_fitness))
         for epoch in range(start_epoch, cfg.train.epochs):
@@ -153,6 +175,8 @@ class Trainer:
             t0 = time.time()
             for i, batch in enumerate(loader):
                 self.callbacks.run("on_train_batch_start")
+                if cfg.train.plots and epoch == start_epoch and i < 3:
+                    self._plot_train_batch(batch, i)
                 device_batch = shard_batch(
                     self.mesh,
                     {k: batch[k] for k in
@@ -162,7 +186,9 @@ class Trainer:
                 mean_items += (np.asarray(items) - mean_items) / (i + 1)
                 self.callbacks.run("on_train_batch_end")
             dt = time.time() - t0
-            lr_now = float(self.lr_fn(int(jax.device_get(state.step))))
+            lr_now = float(
+                self.lr_fn(int(jax.device_get(state.step)) // self.accumulate)
+            )
             metrics = {
                 "train/fam_cls_loss": float(mean_items[0]),
                 "train/fam_reg_loss": float(mean_items[1]),
@@ -172,7 +198,8 @@ class Trainer:
                 "time/epoch_s": dt,
             }
             if cfg.train.val_every_epoch and cfg.data.val_list:
-                val_metrics = self.validate(state)
+                final = epoch == cfg.train.epochs - 1
+                val_metrics = self.validate(state, save_results=final)
                 metrics.update(val_metrics)
                 fit = fitness(val_metrics)
             else:
@@ -180,11 +207,18 @@ class Trainer:
             self.loggers.log_metrics(metrics, epoch)
             self.callbacks.run("on_fit_epoch_end")
 
+            new_best = fit >= best_fitness
+            if new_best:
+                best_fitness = fit
+            # persist best fitness into the state so --resume restores the
+            # comparison point (reference train.py:203-220)
+            state = state.replace(
+                best_fitness=jnp.asarray(best_fitness, jnp.float32)
+            )
             host_state = jax.device_get(state)
             save_checkpoint(self.save_dir / "weights" / "last", host_state,
                             {"epoch": epoch, "fitness": fit})
-            if fit >= best_fitness:
-                best_fitness = fit
+            if new_best:
                 save_checkpoint(self.save_dir / "weights" / "best", host_state,
                                 {"epoch": epoch, "fitness": fit})
             if cfg.train.save_period > 0 and epoch % cfg.train.save_period == 0:
@@ -196,23 +230,114 @@ class Trainer:
         strip_for_deploy(jax.device_get(state), self.save_dir / "weights" / "deploy")
         self.callbacks.run("on_train_end")
         self.loggers.close()
+        if cfg.train.plots:
+            try:
+                from ..utils.plots import plot_results_csv
+
+                plot_results_csv(self.save_dir / "results.csv",
+                                 self.save_dir / "results.png")
+            except Exception:
+                pass
         return state
 
     # ------------------------------------------------------------------
-    def validate(self, state) -> dict:
-        """Chip-level val: decode+NMS then VOC mAP against chip labels."""
+    def _plot_label_stats(self, train_ds):
+        """Dataset label histograms at train start (plot_labels_rotate
+        wiring, utils/loggers/__init__.py:100)."""
+        try:
+            from ..ops.rbox import poly_to_rbox_np
+            from ..utils.plots import plot_label_stats
+
+            s = float(self.cfg.data.img_size)
+            boxes, classes = [], []
+            for label in train_ds.labels:
+                if not len(label):
+                    continue
+                classes.append(label[:, 0])
+                boxes.append(poly_to_rbox_np(label[:, 1:] * s))
+            if not classes:
+                return
+            plot_label_stats(
+                np.concatenate(boxes), np.concatenate(classes),
+                self.save_dir / "labels.png",
+                num_classes=self.cfg.model.num_classes,
+            )
+        except Exception:
+            pass
+
+    # ------------------------------------------------------------------
+    def _plot_train_batch(self, batch, i: int):
+        """First-batches gt mosaic (plot_images_rotate wiring,
+        utils/loggers/__init__.py:100-102)."""
+        try:
+            from ..utils.plots import plot_images_grid
+
+            targets = [
+                (batch["gt_boxes"][k][batch["gt_mask"][k]],
+                 batch["gt_classes"][k][batch["gt_mask"][k]])
+                for k in range(len(batch["imgs"]))
+            ]
+            plot_images_grid(
+                batch["imgs"], targets,
+                self.save_dir / f"train_batch{i}.jpg",
+                names=list(self.cfg.data.names),
+            )
+        except Exception:
+            pass
+
+    # ------------------------------------------------------------------
+    def validate(self, state, save_results: bool = False) -> dict:
+        """Chip-level val: decode+NMS then VOC mAP against chip labels.
+
+        Computes the 4 val losses alongside (val.py:255 parity). The eval
+        step and val dataset are built once and reused across epochs."""
         from ..eval.runner import evaluate_on_chips
 
         cfg = self.cfg
         self.callbacks.run("on_val_start")
+        if not hasattr(self, "_val_dataset"):
+            self._val_dataset = DotaDataset(
+                cfg.data.val_list or cfg.data.root,
+                img_size=cfg.data.img_size,
+                max_gt=cfg.data.max_gt,
+                augment=False,
+                class_names=cfg.data.names,
+            )
+            from ..parallel.step import make_eval_step
+
+            dtype = (jnp.bfloat16 if cfg.train.dtype == "bfloat16"
+                     else jnp.float32)
+            self._val_step = make_eval_step(
+                self.model, model_cfg=cfg.model, compute_dtype=dtype,
+                mesh=self.mesh, use_ema=True, with_loss=True,
+                imgs_size=(cfg.data.img_size, cfg.data.img_size),
+                num_classes=cfg.model.num_classes,
+            )
         out = evaluate_on_chips(
             self.model, state, cfg,
             mesh=self.mesh,
+            dataset=self._val_dataset,
+            eval_step=self._val_step,
+            with_loss=True,
+            save_dir=self.save_dir if (save_results or cfg.eval.save_results)
+            else None,
         )
+        if (save_results or cfg.eval.save_results) and cfg.train.plots:
+            try:
+                from ..utils.plots import plot_pr_curves
+
+                plot_pr_curves(out["per_class"], self.save_dir / "pr_curves.png")
+            except Exception:
+                pass
         self.callbacks.run("on_val_end")
-        return {
+        metrics = {
             "metrics/mAP_0.5": out["map50"],
             "metrics/precision": out["mp"],
             "metrics/recall": out["mr"],
             "map50": out["map50"],
         }
+        for k in ("val/fam_cls_loss", "val/fam_reg_loss",
+                  "val/odm_cls_loss", "val/odm_reg_loss"):
+            if k in out:
+                metrics[k] = out[k]
+        return metrics

@@ -54,6 +54,7 @@ class DataConfig:
     )
     img_size: int = 1024
     max_gt: int = 512                 # padded gt capacity per image
+    cache: str = ""                   # image cache: "" | "ram" | "disk"
     # augmentation (hyp.scratch.s2anet.yaml: only fliplr + 90-degree rotation)
     fliplr: float = 0.5
     flipud: float = 0.0
@@ -91,6 +92,13 @@ class TrainConfig:
     save_dir: str = "runs/train/exp"
     save_period: int = -1
     val_every_epoch: bool = True
+    # ImageNet-pretrained backbone: path to a torchvision ResNet state dict
+    # (.pth), or "auto" to search the torch hub cache (backbone.py:241-303)
+    pretrained: str = ""
+    # nominal global batch for gradient accumulation (train.py:152-155);
+    # 0 disables. accumulate = max(round(nominal / batch_size), 1)
+    nominal_batch_size: int = 0
+    plots: bool = True                # batch mosaics, label stats, PR curves
 
 
 @dataclass
@@ -101,6 +109,7 @@ class EvalConfig:
     iou_thres: float = 0.5
     merge_nms_thr: float = 0.5        # cross-chip poly NMS (ResultMerge)
     use_07_metric: bool = True        # 11-point VOC AP
+    save_results: bool = False        # dump per-class DOTA-format txt files
 
 
 @dataclass

@@ -39,11 +39,23 @@ class Loggers:
 
     def log_metrics(self, metrics: Dict[str, float], step: int):
         metrics = {"epoch_or_step": step, **metrics}
-        write_header = not self.csv_path.exists()
         if self._csv_keys is None:
             self._csv_keys = list(metrics.keys())
+        new_keys = [k for k in metrics if k not in self._csv_keys]
+        if new_keys:
+            # schema grew (e.g. val metrics appear after epoch 0): rewrite the
+            # whole file under the widened header instead of dropping columns
+            self._csv_keys = self._csv_keys + new_keys
+            if self.csv_path.exists():
+                with open(self.csv_path, newline="") as f:
+                    rows = list(csv.DictReader(f))
+                with open(self.csv_path, "w", newline="") as f:
+                    w = csv.DictWriter(f, fieldnames=self._csv_keys, restval="")
+                    w.writeheader()
+                    w.writerows(rows)
+        write_header = not self.csv_path.exists()
         with open(self.csv_path, "a", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=self._csv_keys, extrasaction="ignore")
+            w = csv.DictWriter(f, fieldnames=self._csv_keys, restval="")
             if write_header:
                 w.writeheader()
             w.writerow(metrics)

@@ -29,12 +29,24 @@ def parse_opt():
     p.add_argument("--save-dir", default="runs/train/exp")
     p.add_argument("--resume", default="", help="checkpoint dir to resume from")
     p.add_argument("--noval", action="store_true")
+    p.add_argument("--pretrained", default="",
+                   help="torchvision ResNet state dict path, or 'auto' to "
+                        "search the torch hub cache (ImageNet init)")
+    p.add_argument("--nbs", type=int, default=0,
+                   help="nominal batch size for gradient accumulation "
+                        "(0 = off)")
+    p.add_argument("--noplots", action="store_true")
+    p.add_argument("--cache", default="", choices=["", "ram", "disk"],
+                   help="image cache mode")
     return p.parse_args()
 
 
 def main(opt):
     from s2anet_tpu.train.trainer import Trainer
     from s2anet_tpu.utils.config import load_config
+    from s2anet_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     overrides = {
         "model": {"backbone": opt.backbone, "num_classes": opt.num_classes},
@@ -43,6 +55,7 @@ def main(opt):
             "train_list": opt.data_root,
             "val_list": opt.val_root,
             "img_size": opt.img_size,
+            "cache": opt.cache,
         },
         "train": {
             "epochs": opt.epochs,
@@ -53,6 +66,9 @@ def main(opt):
             "seed": opt.seed,
             "save_dir": opt.save_dir,
             "val_every_epoch": not opt.noval,
+            "pretrained": opt.pretrained,
+            "nominal_batch_size": opt.nbs,
+            "plots": not opt.noplots,
         },
     }
     cfg = load_config(opt.config or None, overrides)

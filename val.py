@@ -26,11 +26,17 @@ def parse_opt():
     p.add_argument("--no-map-split", action="store_true",
                    help="merge chips to full images before eval")
     p.add_argument("--no-ema", action="store_true")
+    p.add_argument("--save-dir", default="",
+                   help="dump per-class DOTA-format result txts + PR curves")
     return p.parse_args()
 
 
 def main(opt):
     import jax
+
+    from s2anet_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from s2anet_tpu.eval.runner import evaluate_on_chips
     from s2anet_tpu.models.detector import S2ANet
@@ -87,7 +93,14 @@ def main(opt):
             )
 
     out = evaluate_on_chips(model, state, cfg, use_ema=not opt.no_ema,
-                            verbose=True)
+                            verbose=True,
+                            save_dir=opt.save_dir or None)
+    if opt.save_dir:
+        from pathlib import Path
+
+        from s2anet_tpu.utils.plots import plot_pr_curves
+
+        plot_pr_curves(out["per_class"], Path(opt.save_dir) / "pr_curves.png")
     print(json.dumps({
         "map50": out["map50"], "precision": out["mp"], "recall": out["mr"],
         "images_per_sec": out["images_per_sec"],
