@@ -8,7 +8,7 @@ bottom-up path with stride-2 convs.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -26,16 +26,18 @@ class FPN(nn.Module):
     in_channels: Sequence[int] = (512, 1024, 2048)
     out_channels: int = 256
     num_outs: int = 5
+    dtype: Optional[Any] = None   # None = compute in the inputs' dtype
 
     @nn.compact
     def __call__(self, inputs):
         assert len(inputs) == len(self.in_channels)
+        dtype = self.dtype if self.dtype is not None else inputs[0].dtype
         n_in = len(self.in_channels)
         n_extra = max(self.num_outs - n_in, 0)
 
         laterals = [
             nn.Conv(self.out_channels, (1, 1), kernel_init=_xavier,
-                    name=f"lateral_{i}")(inputs[i])
+                    dtype=dtype, name=f"lateral_{i}")(inputs[i])
             for i in range(n_in)
         ]
         for i in range(n_in - 1, 0, -1):
@@ -43,14 +45,15 @@ class FPN(nn.Module):
 
         outs = [
             nn.Conv(self.out_channels, (3, 3), padding="SAME",
-                    kernel_init=_xavier, name=f"fpn_{i}")(laterals[i])
+                    kernel_init=_xavier, dtype=dtype, name=f"fpn_{i}")(laterals[i])
             for i in range(n_in)
         ]
         for i in range(n_extra):
             src = inputs[-1] if i == 0 else outs[-1]
             outs.append(
                 nn.Conv(self.out_channels, (3, 3), (2, 2), [(1, 1), (1, 1)],
-                        kernel_init=_xavier, name=f"fpn_{n_in + i}")(src)
+                        kernel_init=_xavier, dtype=dtype,
+                        name=f"fpn_{n_in + i}")(src)
             )
         return tuple(outs)
 
@@ -61,24 +64,27 @@ class PAN(nn.Module):
     in_channels: Sequence[int] = (512, 1024, 2048)
     out_channels: int = 256
     num_outs: int = 5
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, inputs):
+        dtype = self.dtype if self.dtype is not None else inputs[0].dtype
         outs = list(
-            FPN(self.in_channels, self.out_channels, self.num_outs, name="fpn")(inputs)
+            FPN(self.in_channels, self.out_channels, self.num_outs,
+                dtype=dtype, name="fpn")(inputs)
         )
         n_in = len(self.in_channels)
         for i in range(1, n_in):
             down = nn.Conv(self.out_channels, (3, 3), (2, 2), [(1, 1), (1, 1)],
-                           name=f"pan_down_{i - 1}")(outs[i - 1])
+                           dtype=dtype, name=f"pan_down_{i - 1}")(outs[i - 1])
             outs[i] = outs[i] + nn.relu(down)
             outs[i] = nn.relu(
                 nn.Conv(self.out_channels, (3, 3), padding="SAME",
-                        name=f"pan_out_{i - 1}")(outs[i])
+                        dtype=dtype, name=f"pan_out_{i - 1}")(outs[i])
             )
         for i in range(n_in, self.num_outs):
             outs[i] = nn.relu(
                 nn.Conv(self.out_channels, (3, 3), padding="SAME",
-                        name=f"pan_out_{i - 1}")(outs[i])
+                        dtype=dtype, name=f"pan_out_{i - 1}")(outs[i])
             )
         return tuple(outs)

@@ -19,7 +19,7 @@ Only ODM outputs feed inference; FAM participates in the loss only
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -46,12 +46,15 @@ class _ConvStack(nn.Module):
 
     feat_channels: int
     n: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
+        dtype = self.dtype if self.dtype is not None else x.dtype
         for i in range(self.n):
             x = nn.Conv(self.feat_channels, (3, 3), padding="SAME",
-                        kernel_init=_conv_init, name=f"conv{i}")(x)
+                        kernel_init=_conv_init, dtype=dtype,
+                        name=f"conv{i}")(x)
             x = nn.relu(x)
         return x
 
@@ -66,19 +69,22 @@ class S2ANetHead(nn.Module):
     anchor_scales: Sequence[float] = (4.0,)
     anchor_ratios: Sequence[float] = (1.0,)
     anchor_angles: Sequence[float] = (0.0,)
+    # computation dtype for all head convs; None = each call computes in the
+    # incoming feature dtype (bf16 train/eval path, f32 in parity tests)
+    dtype: Optional[Any] = None
 
     def setup(self):
         fc = self.feat_channels
         nc = self.num_classes
-        self.fam_reg_ls = _ConvStack(fc, self.stacked_convs, name="fam_reg_ls")
-        self.fam_cls_ls = _ConvStack(fc, self.stacked_convs, name="fam_cls_ls")
+        self.fam_reg_ls = _ConvStack(fc, self.stacked_convs, dtype=self.dtype, name="fam_reg_ls")
+        self.fam_cls_ls = _ConvStack(fc, self.stacked_convs, dtype=self.dtype, name="fam_cls_ls")
         # FAM output heads are 1x1, ODM heads are 3x3 (head.py:205-227)
         self.fam_reg_head = nn.Conv(5, (1, 1), kernel_init=_conv_init,
-                                    name="fam_reg_head")
+                                    dtype=self.dtype, name="fam_reg_head")
         self.fam_cls_head = nn.Conv(
             nc, (1, 1), kernel_init=_conv_init,
             bias_init=nn.initializers.constant(_bias_init_with_prob(0.01)),
-            name="fam_cls_head")
+            dtype=self.dtype, name="fam_cls_head")
 
         # AlignConv deformable weights, HWIO, no bias (dcn DeformConv parity)
         self.align_weight = self.param(
@@ -98,16 +104,18 @@ class S2ANetHead(nn.Module):
             )
         else:
             self.or_conv = nn.Conv(fc, (3, 3), padding="SAME",
-                                   kernel_init=_conv_init, name="or_conv")
+                                   kernel_init=_conv_init, dtype=self.dtype,
+                                   name="or_conv")
 
-        self.odm_reg_ls = _ConvStack(fc, self.stacked_convs, name="odm_reg_ls")
-        self.odm_cls_ls = _ConvStack(fc, self.stacked_convs, name="odm_cls_ls")
+        self.odm_reg_ls = _ConvStack(fc, self.stacked_convs, dtype=self.dtype, name="odm_reg_ls")
+        self.odm_cls_ls = _ConvStack(fc, self.stacked_convs, dtype=self.dtype, name="odm_cls_ls")
         self.odm_reg_head = nn.Conv(5, (3, 3), padding="SAME",
-                                    kernel_init=_conv_init, name="odm_reg_head")
+                                    kernel_init=_conv_init, dtype=self.dtype,
+                                    name="odm_reg_head")
         self.odm_cls_head = nn.Conv(
             nc, (3, 3), padding="SAME", kernel_init=_conv_init,
             bias_init=nn.initializers.constant(_bias_init_with_prob(0.01)),
-            name="odm_cls_head")
+            dtype=self.dtype, name="odm_cls_head")
 
     def level_anchors(self, featmap_size, stride):
         """Static [H*W*A, 5] anchor grid for one level (constant under jit)."""

@@ -13,9 +13,11 @@ parameters stay immutable without mutating module state.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
+
+Dtype = Optional[Any]
 
 ARCH_SETTINGS = {
     "resnet18": ("basic", (2, 2, 2, 2)),
@@ -28,12 +30,17 @@ ARCH_SETTINGS = {
 _he_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
-def _BatchNorm(use_running_average: bool, name: str):
-    """BatchNorm matching torch defaults (eps 1e-5, torch momentum 0.1)."""
+def _BatchNorm(use_running_average: bool, name: str, dtype: Dtype = None):
+    """BatchNorm matching torch defaults (eps 1e-5, torch momentum 0.1).
+
+    ``dtype`` is the computation dtype (activations); parameters and the
+    batch statistics stay float32 (flax computes stats in >= float32).
+    """
     return nn.BatchNorm(
         use_running_average=use_running_average,
         momentum=0.9,
         epsilon=1e-5,
+        dtype=dtype,
         name=name,
     )
 
@@ -43,23 +50,24 @@ class BasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     train: bool = False
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x):
         residual = x
         y = nn.Conv(self.planes, (3, 3), (self.stride, self.stride),
                     [(1, 1), (1, 1)],
-                    use_bias=False, kernel_init=_he_init, name="conv1")(x)
-        y = _BatchNorm(not self.train, "bn1")(y)
+                    use_bias=False, kernel_init=_he_init, dtype=self.dtype, name="conv1")(x)
+        y = _BatchNorm(not self.train, "bn1", self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3), (1, 1), [(1, 1), (1, 1)],
-                    use_bias=False, kernel_init=_he_init, name="conv2")(y)
-        y = _BatchNorm(not self.train, "bn2")(y)
+                    use_bias=False, kernel_init=_he_init, dtype=self.dtype, name="conv2")(y)
+        y = _BatchNorm(not self.train, "bn2", self.dtype)(y)
         if self.downsample:
             residual = nn.Conv(self.planes, (1, 1), (self.stride, self.stride),
                                use_bias=False, kernel_init=_he_init,
-                               name="downsample_conv")(x)
-            residual = _BatchNorm(not self.train, "downsample_bn")(residual)
+                               dtype=self.dtype, name="downsample_conv")(x)
+            residual = _BatchNorm(not self.train, "downsample_bn", self.dtype)(residual)
         return nn.relu(y + residual)
 
 
@@ -69,27 +77,29 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     train: bool = False
     expansion: int = 4
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x):
         residual = x
         y = nn.Conv(self.planes, (1, 1), use_bias=False,
                     kernel_init=_he_init, name="conv1")(x)
-        y = _BatchNorm(not self.train, "bn1")(y)
+        y = _BatchNorm(not self.train, "bn1", self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3), (self.stride, self.stride),
                     [(1, 1), (1, 1)],
-                    use_bias=False, kernel_init=_he_init, name="conv2")(y)
-        y = _BatchNorm(not self.train, "bn2")(y)
+                    use_bias=False, kernel_init=_he_init, dtype=self.dtype, name="conv2")(y)
+        y = _BatchNorm(not self.train, "bn2", self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
-                    kernel_init=_he_init, name="conv3")(y)
-        y = _BatchNorm(not self.train, "bn3")(y)
+                    kernel_init=_he_init, dtype=self.dtype, name="conv3")(y)
+        y = _BatchNorm(not self.train, "bn3", self.dtype)(y)
         if self.downsample:
             residual = nn.Conv(self.planes * self.expansion, (1, 1),
                                (self.stride, self.stride), use_bias=False,
-                               kernel_init=_he_init, name="downsample_conv")(x)
-            residual = _BatchNorm(not self.train, "downsample_bn")(residual)
+                               kernel_init=_he_init, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            residual = _BatchNorm(not self.train, "downsample_bn", self.dtype)(residual)
         return nn.relu(y + residual)
 
 
@@ -110,9 +120,14 @@ class ResNetBackbone(nn.Module):
     frozen_stages: int = -1
     norm_eval: bool = False
     out_indices: Sequence[int] = (2, 3, 4)
+    # computation dtype; None = compute in the INPUT's dtype (bf16 images ->
+    # bf16 MXU convs + bf16 activations, the TPU-native training config;
+    # f32 in tests -> exact f32)
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dtype = self.dtype if self.dtype is not None else x.dtype
         block_kind, layer_cfg = ARCH_SETTINGS[self.arch]
         block = BasicBlock if block_kind == "basic" else Bottleneck
         expansion = 1 if block_kind == "basic" else 4
@@ -125,8 +140,8 @@ class ResNetBackbone(nn.Module):
         outs = []
         # C1: 7x7/2 stem
         y = nn.Conv(64, (7, 7), (2, 2), [(3, 3), (3, 3)], use_bias=False,
-                    kernel_init=_he_init, name="conv1")(x)
-        y = _BatchNorm(not bn_train(0), "bn1")(y)
+                    kernel_init=_he_init, dtype=dtype, name="conv1")(x)
+        y = _BatchNorm(not bn_train(0), "bn1", dtype)(y)
         y = nn.relu(y)
         if 0 in self.out_indices:
             outs.append(y)
@@ -144,6 +159,7 @@ class ResNetBackbone(nn.Module):
                     stride=stride if b == 0 else 1,
                     downsample=down,
                     train=bn_train(stage + 1),
+                    dtype=dtype,
                     name=f"layer{stage + 1}_{b}",
                 )(y)
                 in_ch = planes * expansion

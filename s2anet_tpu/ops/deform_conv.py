@@ -204,9 +204,23 @@ def _deform_bwd(res, g):
     w_taps = weight.reshape(k * k, cin, cout)
 
     g_flat = g.reshape(b, hw, cout).astype(jnp.float32)
-    bidx = jnp.arange(b, dtype=jnp.int32)[:, None] * (h2 * w2)
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
 
-    dx_flat = jnp.zeros((b * h2 * w2, cin), jnp.float32)
+    # dx accumulates through a scatter. XLA TPU scatter-add is fast only in
+    # canonical row form (scalar row index, fixed row width) and is bound by
+    # row count + operand/update traffic, so the naive form's 36 corner rows
+    # per position dominate the backward. Instead scatter ONE row per
+    # (tap, position): a 2x2 corner window always lies inside exactly one
+    # block of one of the FOUR parity-shifted 2x2 block tilings of the image
+    # (parity = (cy%2, cx%2)), making the whole [2, 2, C] window a single
+    # contiguous row of a [4 * B * Hb * Wb, 4C] operand. 4x fewer rows; the
+    # tilings fold back into dx with dense shifted adds. Accumulation dtype
+    # follows the input (bf16 training matches the reference's fp16 atomicAdd
+    # accumulation under AMP, deform_conv_cuda_kernel.cu:279-338).
+    acc_dt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    hb, wb = h2 // 2 + 1, w2 // 2 + 1
+    scat_idx, scat_upd = [], []
+
     dw = jnp.zeros((k * k, cin, cout), jnp.float32)
     d_off = []
     for t in range(k * k):
@@ -230,17 +244,18 @@ def _deform_bwd(res, g):
             )
         )
 
-        # input grad: one fused scatter over the 4 corners of this tap
-        idx4, upd4 = [], []
-        for dy_ in (0, 1):
-            for dx_ in (0, 1):
-                wgt = (wy[dy_] * wx[dx_]).astype(jnp.float32)  # [B, HW]
-                idx = bidx + (cy + dy_) * w2 + (cx + dx_)      # [B, HW]
-                idx4.append(idx.reshape(-1))
-                upd4.append((dsamp * wgt[..., None]).reshape(-1, cin))
-        dx_flat = dx_flat.at[jnp.concatenate(idx4)].add(
-            jnp.concatenate(upd4)
-        )
+        # input grad: one blocked row per tap-position
+        par_y, par_x = cy % 2, cx % 2
+        yb, xb = (cy - par_y) // 2, (cx - par_x) // 2
+        copy = par_y * 2 + par_x
+        row = ((copy * b + bidx) * hb + yb) * wb + xb           # [B, HW]
+        ds = dsamp.astype(acc_dt)
+        upd = jnp.concatenate(
+            [ds * (wy[dy_] * wx[dx_]).astype(acc_dt)[..., None]
+             for dy_ in (0, 1) for dx_ in (0, 1)], -1
+        )                                                        # [B,HW,4C]
+        scat_idx.append(row.reshape(-1))
+        scat_upd.append(upd.reshape(-1, 4 * cin))
 
         # offset grad: dL/dpy = sum_c dsamp_c * sum_corners v * dwy * wx
         patch = _gather_patch(x, cy, cx).astype(jnp.float32)  # [B, HW, 2, 2, C]
@@ -257,7 +272,26 @@ def _deform_bwd(res, g):
         )
         d_off.append(jnp.stack([gy_, gx_], axis=-1))  # [B, HW, 2]
 
-    dx = dx_flat.reshape(b, h2, w2, cin)[:, :h, :w].astype(x.dtype)
+    # scatter in chunks of 3 taps to bound live update memory (~1/3 of the
+    # full set) at the cost of 2 extra read-modify-write passes over the
+    # small blocked operand
+    blocks = jnp.zeros((4 * b * hb * wb, 4 * cin), acc_dt)
+    for c0 in range(0, k * k, 3):
+        blocks = blocks.at[jnp.concatenate(scat_idx[c0:c0 + 3])].add(
+            jnp.concatenate(scat_upd[c0:c0 + 3], 0)
+        )
+    # fold the 4 parity tilings back: copy (py,px) tiles pixels
+    # (2*yb + py + r, 2*xb + px + s); realize each as a dense image on a
+    # [2hb, 2wb] grid shifted by (py, px) and sum the overlaps
+    blocks = blocks.reshape(4, b, hb, wb, 2, 2, cin).astype(jnp.float32)
+    dx_full = jnp.zeros((b, 2 * hb + 1, 2 * wb + 1, cin), jnp.float32)
+    for par_y in (0, 1):
+        for par_x in (0, 1):
+            img = blocks[par_y * 2 + par_x].transpose(0, 1, 3, 2, 4, 5)
+            img = img.reshape(b, 2 * hb, 2 * wb, cin)
+            dx_full = dx_full.at[:, par_y:par_y + 2 * hb,
+                                 par_x:par_x + 2 * wb].add(img)
+    dx = dx_full[:, :h, :w].astype(x.dtype)
     d_offsets = jnp.stack(d_off, axis=2).reshape(offsets.shape).astype(
         offsets.dtype
     )

@@ -51,6 +51,20 @@ def load_metadata(path) -> dict:
     return {}
 
 
+def increment_path(path, exist_ok: bool = False) -> str:
+    """Auto-increment a run dir: runs/exp -> runs/exp2, exp3, ...
+    (utils/general.py ``increment_path`` parity). Returns the first unused
+    path; with ``exist_ok`` the path is returned as-is."""
+    p = Path(path)
+    if exist_ok or not p.exists():
+        return str(p)
+    for n in range(2, 10000):
+        cand = p.with_name(f"{p.name}{n}")
+        if not cand.exists():
+            return str(cand)
+    raise RuntimeError(f"no free increment for {path}")
+
+
 def get_latest_run(search_dir="runs/train"):
     """Newest checkpoint dir under runs/train/*/weights/last (general.py:182)."""
     cands = sorted(

@@ -23,7 +23,8 @@ LOG_KEYS = (
 
 
 class Loggers:
-    def __init__(self, save_dir, use_tensorboard: bool = True):
+    def __init__(self, save_dir, use_tensorboard: bool = True,
+                 use_wandb: bool = False, wandb_project: str = "s2anet_tpu"):
         self.save_dir = Path(save_dir)
         self.save_dir.mkdir(parents=True, exist_ok=True)
         self.csv_path = self.save_dir / "results.csv"
@@ -36,6 +37,19 @@ class Loggers:
                 self.tb = SummaryWriter(str(self.save_dir))
             except Exception:
                 self.tb = None
+        # W&B backend (utils/loggers/wandb parity): active only when the
+        # wandb package is importable AND explicitly requested
+        self.wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                self.wandb = wandb.init(
+                    project=wandb_project, name=self.save_dir.name,
+                    dir=str(self.save_dir), resume="allow",
+                )
+            except Exception:
+                self.wandb = None
 
     def log_metrics(self, metrics: Dict[str, float], step: int):
         metrics = {"epoch_or_step": step, **metrics}
@@ -63,11 +77,19 @@ class Loggers:
             for k, v in metrics.items():
                 if isinstance(v, (int, float)):
                     self.tb.add_scalar(k, v, step)
+        if self.wandb is not None:
+            self.wandb.log(
+                {k: v for k, v in metrics.items()
+                 if isinstance(v, (int, float))},
+                step=step,
+            )
 
     def close(self):
         if self.tb is not None:
             self.tb.flush()
             self.tb.close()
+        if self.wandb is not None:
+            self.wandb.finish()
 
 
 class Profile:

@@ -72,6 +72,16 @@ def main(opt):
         },
     }
     cfg = load_config(opt.config or None, overrides)
+    if not opt.resume:
+        # new runs never overwrite an existing run dir (increment_path parity)
+        from dataclasses import replace
+
+        from s2anet_tpu.train.checkpoint import increment_path
+
+        cfg = replace(
+            cfg, train=replace(cfg.train,
+                               save_dir=increment_path(cfg.train.save_dir))
+        )
     trainer = Trainer(cfg)
     trainer.train(resume=opt.resume or None)
 
