@@ -31,8 +31,8 @@ for _ in range(6):
 print(f"train step: {min(ts)*1e3:.0f} ms")
 
 import jax.profiler
-#jax.profiler.start_trace("/tmp/step_trace")
-#for _ in range(3):
-#    state, items = step(state, batch); _ = np.asarray(items)
-#jax.profiler.stop_trace()
-#print("trace saved")
+jax.profiler.start_trace("/tmp/step_trace")
+for _ in range(3):
+    state, items = step(state, batch); _ = np.asarray(items)
+jax.profiler.stop_trace()
+print("trace saved")

@@ -169,12 +169,19 @@ def main():
         print(f"mfu: skipped ({e})", file=sys.stderr)
 
     # --- host loader throughput (stderr): is the device rate feedable? ---
+    # NOTE: scales with host cores — production TPU-VM hosts have 100+;
+    # a 1-core tunnel host will report a bound far below the device rate.
     try:
+        import os
+
+        ncpu = os.cpu_count() or 1
         loader_rate = _bench_loader(size, batch)
         print(
-            f"host loader: {loader_rate:.1f} imgs/s "
-            f"({'>=':s} device rate {chips_per_sec:.1f}: "
-            f"{loader_rate >= chips_per_sec})",
+            f"host loader: {loader_rate:.1f} imgs/s on {ncpu} host core(s) "
+            f"(~{loader_rate / ncpu:.1f}/core; device rate "
+            f"{chips_per_sec:.1f}/s needs ~"
+            f"{max(1, round(chips_per_sec / max(loader_rate / ncpu, 1e-9)))} "
+            "cores)",
             file=sys.stderr,
         )
     except Exception as e:

@@ -28,6 +28,8 @@ def hsv_augment(img: np.ndarray, h_gain=0.5, s_gain=0.5, v_gain=0.5,
 
     rng = rng or np.random.default_rng()
     r = rng.uniform(-1, 1, 3) * [h_gain, s_gain, v_gain] + 1
+    if not img.flags["C_CONTIGUOUS"]:
+        img = np.ascontiguousarray(img)  # cv2 needs contiguous input
     hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
     x = np.arange(0, 256, dtype=r.dtype)
     lut_hue = ((x * r[0]) % 180).astype(img.dtype)
@@ -118,7 +120,8 @@ def rot90_image_and_polys(img: np.ndarray, polys: np.ndarray, k: int):
     if k == 0:
         return img, polys
     h, w = img.shape[:2]
-    img = np.ascontiguousarray(np.rot90(img, k))
+    img = np.rot90(img, k)  # view — the pipeline's final float32 conversion
+    # materializes one contiguous copy for everything
     xs = polys[:, 0::2].copy()
     ys = polys[:, 1::2].copy()
     for _ in range(k):
@@ -171,6 +174,8 @@ def random_perspective_rotation(
         return img, polys
     m = np.array([[s, 0, tx + (1 - s) * w / 2],
                   [0, s, ty + (1 - s) * h / 2]], np.float64)
+    if not img.flags["C_CONTIGUOUS"]:
+        img = np.ascontiguousarray(img)  # cv2 needs contiguous input
     img = cv2.warpAffine(img, m, (w, h), borderValue=(114, 114, 114))
     if len(polys):
         pts = polys.reshape(-1, 4, 2)
@@ -251,7 +256,7 @@ def mosaic_center_crop(canvas: np.ndarray, polys: np.ndarray, cls: np.ndarray,
     """
     s = img_size
     off = s // 2
-    img = np.ascontiguousarray(canvas[off:off + s, off:off + s])
+    img = canvas[off:off + s, off:off + s]  # view; copied at float conversion
     if len(polys):
         polys = polys.copy()
         polys[:, 0::2] -= off

@@ -257,10 +257,10 @@ class DotaDataset:
                 )
             if rng.uniform() < self.fliplr:
                 polys = A.fliplr_polys(img.shape[1], polys)
-                img = np.ascontiguousarray(img[:, ::-1])
+                img = img[:, ::-1]
             if rng.uniform() < self.flipud:
                 polys = A.flipud_polys(img.shape[0], polys)
-                img = np.ascontiguousarray(img[::-1])
+                img = img[::-1]
             keep = A.filter_polys_center_inside(
                 polys, img.shape[0], img.shape[1]
             )
@@ -284,7 +284,10 @@ class DotaDataset:
         gt_classes[:n] = cls[:n]
         gt_mask[:n] = True
 
-        rgb = np.ascontiguousarray(img[:, :, ::-1], dtype=np.float32) / 255.0
+        # one copy total: BGR->RGB view, then astype materializes contiguous
+        # float32 (flip/rot90 upstream stay views), scaled in place
+        rgb = img[:, :, ::-1].astype(np.float32)
+        rgb *= 1.0 / 255.0
         return {
             "imgs": rgb,
             "gt_boxes": gt_boxes,
@@ -312,9 +315,13 @@ class BatchLoader:
         shard: int = 0,
         num_shards: int = 1,
         drop_last: bool = True,
-        num_workers: int = 4,
+        num_workers: Optional[int] = None,   # None = min(4, host cores)
         prefetch: int = 4,
     ):
+        if num_workers is None:
+            import os
+
+            num_workers = min(4, os.cpu_count() or 1)
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
