@@ -155,7 +155,9 @@ class S2ANetHead(nn.Module):
 
             offsets = align_conv_offsets(refine, (h, w), float(stride))
             align = nn.relu(
-                deform_conv2d(x, offsets.astype(x.dtype), self.align_weight.astype(x.dtype))
+                deform_conv2d(x, offsets.astype(x.dtype),
+                              self.align_weight.astype(x.dtype),
+                              offset_grad=False)  # offsets are stop-gradient
             )
             if self.with_orconv:
                 w_arf = rotate_arf(self.or_weight, self.n_orientations)

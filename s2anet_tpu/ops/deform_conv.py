@@ -166,10 +166,24 @@ def _deform_core(x, offsets, weight):
     The autodiff transpose of the patch gather is an XLA scatter per
     tap-corner with 2x2 slice windows — measured 5.8 s/call at P3 on v5e. The
     hand-written backward recomputes the cheap forward gathers and issues one
-    fused row-scatter per tap (~100 ms total), plus MXU matmuls for the
-    weight grad and closed-form bilinear derivatives for the offset grad
-    (same math as the reference's col2im/col2im_coord CUDA kernels,
+    parity-blocked row-scatter, plus MXU matmuls for the weight grad and
+    closed-form bilinear derivatives for the offset grad (same math as the
+    reference's col2im/col2im_coord CUDA kernels,
     models/dcn/src/deform_conv_cuda_kernel.cu:279-433, re-derived).
+    """
+    out, _ = _deform_fwd(x, offsets, weight)
+    return out
+
+
+@jax.custom_vjp
+def _deform_core_nooff(x, offsets, weight):
+    """Deform core whose VJP returns zero offset gradients.
+
+    AlignConv derives its offsets under stop-gradient (the reference computes
+    them inside ``@torch.no_grad`` — alignconv.py:29), so the closed-form
+    coordinate-gradient pass (a second f32 patch product + reductions, ~1 GB
+    of transients at P3) is provably dead there; this variant skips building
+    it rather than trusting DCE through the custom_vjp boundary.
     """
     out, _ = _deform_fwd(x, offsets, weight)
     return out
@@ -194,7 +208,7 @@ def _deform_fwd(x, offsets, weight):
     return acc.astype(x.dtype), (x, offsets, weight)
 
 
-def _deform_bwd(res, g):
+def _deform_bwd(res, g, with_offset_grad: bool = True):
     x, offsets, weight = res
     b, h, w, cin = x.shape
     k = weight.shape[0]
@@ -259,20 +273,21 @@ def _deform_bwd(res, g):
             [(wy[dy_] * wx[dx_]).astype(acc_dt)
              for dy_ in (0, 1) for dx_ in (0, 1)], -1))           # [B,HW,4]
 
-        # offset grad: dL/dpy = sum_c dsamp_c * sum_corners v * dwy * wx
-        patch = _gather_patch(x, cy, cx).astype(jnp.float32)  # [B, HW, 2, 2, C]
-        v_dot = (patch * dsamp[:, :, None, None, :]).sum(-1)  # [B, HW, 2, 2]
-        gy_ = sum(
-            v_dot[..., dy_, dx_] * dwy[dy_].astype(jnp.float32)
-            * wx[dx_].astype(jnp.float32)
-            for dy_ in (0, 1) for dx_ in (0, 1)
-        )
-        gx_ = sum(
-            v_dot[..., dy_, dx_] * wy[dy_].astype(jnp.float32)
-            * dwx[dx_].astype(jnp.float32)
-            for dy_ in (0, 1) for dx_ in (0, 1)
-        )
-        d_off.append(jnp.stack([gy_, gx_], axis=-1))  # [B, HW, 2]
+        if with_offset_grad:
+            # offset grad: dL/dpy = sum_c dsamp_c * sum_corners v * dwy * wx
+            patch = _gather_patch(x, cy, cx).astype(jnp.float32)
+            v_dot = (patch * dsamp[:, :, None, None, :]).sum(-1)  # [B,HW,2,2]
+            gy_ = sum(
+                v_dot[..., dy_, dx_] * dwy[dy_].astype(jnp.float32)
+                * wx[dx_].astype(jnp.float32)
+                for dy_ in (0, 1) for dx_ in (0, 1)
+            )
+            gx_ = sum(
+                v_dot[..., dy_, dx_] * wy[dy_].astype(jnp.float32)
+                * dwx[dx_].astype(jnp.float32)
+                for dy_ in (0, 1) for dx_ in (0, 1)
+            )
+            d_off.append(jnp.stack([gy_, gx_], axis=-1))  # [B, HW, 2]
 
     # one scatter for all taps: updates [B, HW, 9, 4, cin] = outer product of
     # the corner weights with ds_all, in (b, p, t) row order matching `rows`
@@ -285,8 +300,8 @@ def _deform_bwd(res, g):
     # fold the 4 parity tilings back: copy (py,px) tiles pixels
     # (2*yb + py + r, 2*xb + px + s); realize each as a dense image on a
     # [2hb, 2wb] grid shifted by (py, px) and sum the overlaps
-    blocks = blocks.reshape(4, b, hb, wb, 2, 2, cin).astype(jnp.float32)
-    dx_full = jnp.zeros((b, 2 * hb + 1, 2 * wb + 1, cin), jnp.float32)
+    blocks = blocks.reshape(4, b, hb, wb, 2, 2, cin)
+    dx_full = jnp.zeros((b, 2 * hb + 1, 2 * wb + 1, cin), acc_dt)
     for par_y in (0, 1):
         for par_x in (0, 1):
             img = blocks[par_y * 2 + par_x].transpose(0, 1, 3, 2, 4, 5)
@@ -294,10 +309,17 @@ def _deform_bwd(res, g):
             dx_full = dx_full.at[:, par_y:par_y + 2 * hb,
                                  par_x:par_x + 2 * wb].add(img)
     dx = dx_full[:, :h, :w].astype(x.dtype)
-    d_offsets = jnp.stack(d_off, axis=2).reshape(offsets.shape).astype(
-        offsets.dtype
-    )
+    if with_offset_grad:
+        d_offsets = jnp.stack(d_off, axis=2).reshape(offsets.shape).astype(
+            offsets.dtype
+        )
+    else:
+        d_offsets = jnp.zeros_like(offsets)
     return dx, d_offsets, dw.reshape(weight.shape).astype(weight.dtype)
+
+
+def _deform_bwd_nooff(res, g):
+    return _deform_bwd(res, g, with_offset_grad=False)
 
 
 def _gather_patch(feat, cy, cx):
@@ -321,10 +343,12 @@ def _gather_patch(feat, cy, cx):
 
 
 _deform_core.defvjp(_deform_fwd, _deform_bwd)
+_deform_core_nooff.defvjp(_deform_fwd, _deform_bwd_nooff)
 
 
-@functools.partial(jax.jit, static_argnames=("kernel_size",))
-def deform_conv2d(x, offsets, weight, bias=None, kernel_size: int = 3):
+@functools.partial(jax.jit, static_argnames=("kernel_size", "offset_grad"))
+def deform_conv2d(x, offsets, weight, bias=None, kernel_size: int = 3,
+                  offset_grad: bool = True):
     """Deformable conv, stride 1, same padding, NHWC.
 
     Args:
@@ -332,12 +356,16 @@ def deform_conv2d(x, offsets, weight, bias=None, kernel_size: int = 3):
       offsets: ``[B, H, W, K*K, 2]`` — (dy, dx) added to each standard tap.
       weight:  ``[K, K, Cin, Cout]`` (HWIO).
       bias:    optional ``[Cout]``.
+      offset_grad: pass False when the offsets carry no gradient (AlignConv:
+        offsets come from stop-gradient anchors) — skips building the
+        coordinate-gradient pass in the backward.
 
     Returns:
       ``[B, H, W, Cout]``.
     """
     assert weight.shape[0] == kernel_size
-    out = _deform_core(x, offsets, weight)
+    core = _deform_core if offset_grad else _deform_core_nooff
+    out = core(x, offsets, weight)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

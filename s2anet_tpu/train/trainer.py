@@ -171,7 +171,7 @@ class Trainer:
         for epoch in range(start_epoch, cfg.train.epochs):
             self.callbacks.run("on_train_epoch_start")
             loader.set_epoch(epoch)
-            mean_items = np.zeros(4)
+            items_hist = []
             t0 = time.time()
             for i, batch in enumerate(loader):
                 self.callbacks.run("on_train_batch_start")
@@ -183,8 +183,14 @@ class Trainer:
                      ("imgs", "gt_boxes", "gt_classes", "gt_mask")},
                 )
                 state, items = step_fn(state, device_batch)
-                mean_items += (np.asarray(items) - mean_items) / (i + 1)
+                # keep loss items on device: a host sync here would stall the
+                # dispatch pipeline every step (tens of ms on tunneled hosts)
+                items_hist.append(items)
                 self.callbacks.run("on_train_batch_end")
+            mean_items = (
+                np.asarray(jax.device_get(items_hist), np.float64).mean(0)
+                if items_hist else np.zeros(4)
+            )
             dt = time.time() - t0
             lr_now = float(
                 self.lr_fn(int(jax.device_get(state.step)) // self.accumulate)

@@ -210,3 +210,26 @@ def test_deform_conv_custom_vjp_matches_autodiff(rng):
     d_off_c = np.asarray(gc[1])[frac_ok]
     d_off_n = np.asarray(gn[1])[frac_ok]
     np.testing.assert_allclose(d_off_c, d_off_n, rtol=1e-3, atol=1e-3)
+
+
+def test_deform_conv_no_offset_grad_matches_dx_dw(rng):
+    """offset_grad=False must give identical dx/dw and zero offset grads
+    (AlignConv path: offsets are stop-gradient, alignconv.py:29)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, 8)).astype(np.float32))
+    off = jnp.asarray(rng.uniform(-1, 1, (1, 6, 6, 9, 2)).astype(np.float32))
+    wgt = jnp.asarray(rng.standard_normal((3, 3, 8, 8)).astype(np.float32) * .2)
+
+    def loss(og):
+        def f(x, off, wgt):
+            return (deform_conv2d(x, off, wgt, offset_grad=og) ** 2).sum()
+        return jax.grad(f, argnums=(0, 1, 2))
+
+    gx1, go1, gw1 = loss(True)(x, off, wgt)
+    gx0, go0, gw0 = loss(False)(x, off, wgt)
+    np.testing.assert_allclose(np.asarray(gx0), np.asarray(gx1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw0), np.asarray(gw1), rtol=1e-5)
+    assert np.all(np.asarray(go0) == 0)
+    assert np.any(np.asarray(go1) != 0)
