@@ -244,6 +244,7 @@ def evaluate_on_chips(model, state, cfg, mesh=None, dataset=None,
     out = evaluate_detections(
         dict(dets_by_class), gt_by_class, cfg.data.names,
         ovthresh=cfg.eval.iou_thres, use_07_metric=cfg.eval.use_07_metric,
+        task=getattr(cfg.eval, "task", 1),
     )
     out["images_per_sec"] = n_imgs / max(t_infer, 1e-9)
     out["n_images"] = n_imgs

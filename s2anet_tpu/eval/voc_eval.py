@@ -46,11 +46,22 @@ def _poly_hbb(poly: np.ndarray):
     return xs.min(), ys.min(), xs.max(), ys.max()
 
 
+def _hbb_iou(a, b) -> float:
+    """Axis-aligned IoU of two (x1, y1, x2, y2) boxes (Task2 metric)."""
+    ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = ix * iy
+    area_a = (a[2] - a[0]) * (a[3] - a[1])
+    area_b = (b[2] - b[0]) * (b[3] - b[1])
+    return inter / max(area_a + area_b - inter, 1e-12)
+
+
 def voc_eval_class(
     detections: Sequence[Tuple[str, float, np.ndarray]],
     gt: Dict[str, List[Tuple[np.ndarray, bool]]],
     ovthresh: float = 0.5,
     use_07_metric: bool = True,
+    task: int = 1,
 ):
     """Evaluate one class.
 
@@ -58,6 +69,9 @@ def voc_eval_class(
       detections: iterable of (image_name, score, poly[8]).
       gt: {image_name: [(poly[8], difficult), ...]} — every eval image must
         have an entry (possibly empty).
+      task: 1 = oriented (polygon IoU, dota_evaluation_task1.py), 2 =
+        horizontal (polygons collapse to their axis-aligned boxes and IoU is
+        plain HBB IoU, dota_evaluation_task2.py semantics).
 
     Returns:
       dict with rec, prec, ap, scores (sorted desc), npos, and the max-F1
@@ -88,13 +102,15 @@ def voc_eval_class(
             fp[i] = 1
             continue
         poly = np.asarray(poly, dtype=np.float64).reshape(8)
-        px1, py1, px2, py2 = _poly_hbb(poly)
+        phbb = _poly_hbb(poly)
+        px1, py1, px2, py2 = phbb
         best_iou, best_j = -np.inf, -1
         for j, gpoly in enumerate(entry["polys"]):
             gx1, gy1, gx2, gy2 = entry["hbb"][j]
             if px2 < gx1 or gx2 < px1 or py2 < gy1 or gy2 < py1:
                 continue
-            ov = iou_poly(poly, gpoly)
+            ov = (iou_poly(poly, gpoly) if task == 1
+                  else _hbb_iou(phbb, entry["hbb"][j]))
             if ov > best_iou:
                 best_iou, best_j = ov, j
         if best_iou > ovthresh:
@@ -131,12 +147,14 @@ def evaluate_detections(
     class_names: Sequence[str],
     ovthresh: float = 0.5,
     use_07_metric: bool = True,
+    task: int = 1,
 ):
     """Full multi-class evaluation.
 
     Args:
       dets_by_class: {class_id: [(image, score, poly[8]), ...]}.
       gt_by_class:   {class_id: {image: [(poly, difficult), ...]}}.
+      task: 1 = oriented boxes (polygon IoU), 2 = horizontal boxes.
 
     Returns:
       dict with per-class results, map50, and mean max-F1 P/R.
@@ -149,6 +167,7 @@ def evaluate_detections(
             gt_by_class.get(cid, {}),
             ovthresh,
             use_07_metric,
+            task=task,
         )
         per_class[cname] = res
         aps.append(res["ap"])

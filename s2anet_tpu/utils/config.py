@@ -41,17 +41,32 @@ class ModelConfig:
     pre_nms_cap: int = 4096
 
 
+DOTA10_CLASSES = (
+    "plane", "baseball-diamond", "bridge", "ground-track-field",
+    "small-vehicle", "large-vehicle", "ship", "tennis-court",
+    "basketball-court", "storage-tank", "soccer-ball-field", "roundabout",
+    "harbor", "swimming-pool", "helicopter",
+)
+# DOTA-v1.5 adds container-crane; v2.0 further adds airport + helipad
+# (dota-v1.5_evaluation_task1.py classnames parity)
+DOTA15_CLASSES = DOTA10_CLASSES + ("container-crane",)
+DOTA20_CLASSES = DOTA15_CLASSES + ("airport", "helipad")
+HRSC_CLASSES = ("ship",)
+
+NAMES_PRESETS = {
+    "dota": DOTA10_CLASSES, "dota-v1.0": DOTA10_CLASSES,
+    "dota-v1.5": DOTA15_CLASSES, "dota-v2.0": DOTA20_CLASSES,
+    "hrsc": HRSC_CLASSES, "hrsc2016": HRSC_CLASSES,
+}
+
+
 @dataclass
 class DataConfig:
     root: str = ""
     train_list: str = ""              # txt of train image paths (YOLO layout)
     val_list: str = ""
-    names: Sequence[str] = (
-        "plane", "baseball-diamond", "bridge", "ground-track-field",
-        "small-vehicle", "large-vehicle", "ship", "tennis-court",
-        "basketball-court", "storage-tank", "soccer-ball-field", "roundabout",
-        "harbor", "swimming-pool", "helicopter",
-    )
+    # class names, or a preset key ("dota", "dota-v1.5", "dota-v2.0", "hrsc")
+    names: Sequence[str] = DOTA10_CLASSES
     img_size: int = 1024
     max_gt: int = 512                 # padded gt capacity per image
     cache: str = ""                   # image cache: "" | "ram" | "disk"
@@ -110,6 +125,7 @@ class EvalConfig:
     merge_nms_thr: float = 0.5        # cross-chip poly NMS (ResultMerge)
     use_07_metric: bool = True        # 11-point VOC AP
     save_results: bool = False        # dump per-class DOTA-format txt files
+    task: int = 1                     # 1 = oriented (Task1), 2 = horizontal
 
 
 @dataclass
@@ -147,4 +163,14 @@ def load_config(path=None, overrides: Optional[dict] = None) -> Config:
         cfg = _merge(cfg, loaded)
     if overrides:
         cfg = _merge(cfg, overrides)
+    if isinstance(cfg.data.names, str):  # resolve class-list preset keys
+        names = NAMES_PRESETS.get(cfg.data.names.lower())
+        if names is None:
+            raise ValueError(
+                f"unknown names preset {cfg.data.names!r}; "
+                f"options: {sorted(NAMES_PRESETS)}"
+            )
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, names=names)
+        )
     return cfg

@@ -257,3 +257,36 @@ def test_eval_step_with_loss_returns_finite_items():
     items = np.asarray(items)
     assert items.shape == (4,)
     assert np.isfinite(items).all() and (items >= 0).all()
+
+
+# ------------------------------------------------------ Task2 HBB evaluation
+def test_task2_hbb_eval_vs_task1():
+    """Task2 treats polygons as their axis-aligned boxes: a rotated det that
+    misses at polygon IoU can match at HBB IoU (dota_evaluation_task2.py
+    semantics)."""
+    from s2anet_tpu.eval.voc_eval import evaluate_detections
+
+    # gt: unit square [0,10]^2; det: same square rotated 45deg about center
+    # (polygon IoU with the square ~= 0.5 > thr... make it thinner)
+    gt_poly = np.array([0, 0, 10, 0, 10, 10, 0, 10], np.float64)
+    # thin diagonal sliver: HBB spans the square but polygon IoU is tiny
+    det_poly = np.array([0, 0, 10, 9, 10, 10, 0, 1], np.float64)
+    dets = {0: [("img", 0.9, det_poly)]}
+    gts = {0: {"img": [(gt_poly, False)]}}
+    t1 = evaluate_detections(dets, gts, ["c"], ovthresh=0.5, task=1)
+    t2 = evaluate_detections(dets, gts, ["c"], ovthresh=0.5, task=2)
+    assert t1["map50"] < 0.5          # polygon IoU ~0.1 -> miss
+    assert t2["map50"] > 0.9          # HBB IoU ~0.9 -> hit
+
+
+def test_names_presets_resolve():
+    from s2anet_tpu.utils.config import load_config
+
+    cfg = load_config(None, {"data": {"names": "dota-v1.5"}})
+    assert len(cfg.data.names) == 16 and cfg.data.names[-1] == "container-crane"
+    cfg = load_config(None, {"data": {"names": "dota-v2.0"}})
+    assert len(cfg.data.names) == 18
+    cfg = load_config(None, {"data": {"names": "hrsc"}})
+    assert list(cfg.data.names) == ["ship"]
+    with pytest.raises(ValueError):
+        load_config(None, {"data": {"names": "nope"}})

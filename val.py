@@ -28,6 +28,10 @@ def parse_opt():
     p.add_argument("--no-ema", action="store_true")
     p.add_argument("--save-dir", default="",
                    help="dump per-class DOTA-format result txts + PR curves")
+    p.add_argument("--task", type=int, default=1, choices=[1, 2],
+                   help="1 = oriented boxes (Task1), 2 = horizontal (Task2)")
+    p.add_argument("--names", default="",
+                   help="class preset: dota | dota-v1.5 | dota-v2.0 | hrsc")
     return p.parse_args()
 
 
@@ -54,9 +58,11 @@ def main(opt):
             "nms_iou_thr": opt.iou_thres,
         },
         "data": {"val_list": opt.data_root, "root": opt.data_root,
-                 "img_size": opt.img_size, "val_gt_dir": opt.gt_dir},
+                 "img_size": opt.img_size, "val_gt_dir": opt.gt_dir,
+                 **({"names": opt.names} if opt.names else {})},
         "eval": {"batch_size": opt.batch_size,
-                 "is_map_split": not opt.no_map_split},
+                 "is_map_split": not opt.no_map_split,
+                 "task": opt.task},
     }
     cfg = load_config(opt.config or None, overrides)
 
