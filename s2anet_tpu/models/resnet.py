@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 Dtype = Optional[Any]
 
@@ -43,6 +44,63 @@ def _BatchNorm(use_running_average: bool, name: str, dtype: Dtype = None):
         dtype=dtype,
         name=name,
     )
+
+
+def _stem_s2d_conv(x, kernel):
+    """7x7/stride-2/pad-3 conv via space-to-depth — exact reformulation.
+
+    A 3-channel 7x7 stem pads its input to 128 lanes (42x waste) and runs the
+    MXU at K=3. Rewriting y[p] = sum_d W[d] x[2p+d-3] with d = 2e+r gives a
+    4x4 stride-1 VALID conv over the factor-2 space-to-depth input (12
+    channels) with a zero-padded, re-laid-out kernel — bit-exact up to fp
+    reassociation, and ~4x less layout padding. Falls back to the plain conv
+    for odd spatial sizes.
+
+    Args:
+      x: [B, H, W, C] (C=3 for the stem, but general).
+      kernel: [7, 7, C, Cout].
+    """
+    import jax
+
+    b, h, w, c = x.shape
+    cout = kernel.shape[-1]
+    if h % 2 or w % 2:
+        return jax.lax.conv_general_dilated(
+            x, kernel, (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    # zero-pad kernel 7 -> 8 taps, relayout to [4, 4, (ry rx c), cout]
+    wp = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    k2 = wp.reshape(4, 2, 4, 2, c, cout).transpose(0, 2, 1, 3, 4, 5)
+    k2 = k2.reshape(4, 4, 4 * c, cout)
+    # pad input left 3 / right 5 (even total), space-to-depth by 2
+    xp = jnp.pad(x, ((0, 0), (3, 5), (3, 5), (0, 0)))
+    hs, ws = (h + 8) // 2, (w + 8) // 2
+    xs = xp.reshape(b, hs, 2, ws, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    xs = xs.reshape(b, hs, ws, 4 * c)
+    y = jax.lax.conv_general_dilated(
+        xs, k2, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # [B, h/2 + 1, w/2 + 1, cout]
+    return y[:, : h // 2, : w // 2]
+
+
+class _StemConv(nn.Module):
+    """Stem conv with the standard torch-compatible parameter layout
+    (``kernel`` [7,7,3,64], imported 1:1 from torchvision) computed through
+    the space-to-depth formulation."""
+
+    features: int = 64
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", _he_init, (7, 7, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        dtype = self.dtype if self.dtype is not None else x.dtype
+        return _stem_s2d_conv(x.astype(dtype), kernel.astype(dtype))
 
 
 class BasicBlock(nn.Module):
@@ -139,8 +197,7 @@ class ResNetBackbone(nn.Module):
 
         outs = []
         # C1: 7x7/2 stem
-        y = nn.Conv(64, (7, 7), (2, 2), [(3, 3), (3, 3)], use_bias=False,
-                    kernel_init=_he_init, dtype=dtype, name="conv1")(x)
+        y = _StemConv(64, dtype=dtype, name="conv1")(x)
         y = _BatchNorm(not bn_train(0), "bn1", dtype)(y)
         y = nn.relu(y)
         if 0 in self.out_indices:

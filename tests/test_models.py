@@ -138,3 +138,24 @@ def test_get_bboxes_shapes(model_and_vars):
     assert det_boxes.shape == (2, 50, 6)
     assert det_labels.shape == (2, 50)
     assert det_valid.shape == (2, 50)
+
+
+def test_stem_s2d_conv_exact_vs_plain_conv(rng):
+    """Space-to-depth stem (resnet.py _stem_s2d_conv) must equal the plain
+    7x7/s2/pad3 convolution exactly (up to fp reassociation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from s2anet_tpu.models.resnet import _stem_s2d_conv
+
+    for h, w in ((64, 64), (128, 96), (65, 64)):  # odd h exercises fallback
+        x = jnp.asarray(rng.standard_normal((2, h, w, 3)).astype(np.float32))
+        k = jnp.asarray(
+            rng.standard_normal((7, 7, 3, 16)).astype(np.float32) * 0.1)
+        ref = jax.lax.conv_general_dilated(
+            x, k, (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = _stem_s2d_conv(x, k)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
