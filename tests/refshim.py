@@ -243,8 +243,12 @@ def load_reference():
     ref_backbone.load_checkpoint = _local_checkpoint
 
     import models.detector as ref_detector
+    import utils.augmentations as ref_augmentations
+    import utils.datasets_rotation as ref_datasets
 
     ns = types.SimpleNamespace(
+        augmentations=ref_augmentations,
+        datasets=ref_datasets,
         general=ref_general,
         metrics=ref_metrics,
         loss=ref_loss,

@@ -397,3 +397,76 @@ def test_get_bboxes_parity(ref, ref_model_and_mine):
             used[cand[0]] = True
             matched += 1
     assert matched >= 0.95 * max(len(det), len(want_boxes))
+
+
+# ---------------------------------------------------------------- mosaic
+def test_mosaic_matches_reference_center_crop(rng):
+    """Our mosaic4 + mosaic_center_crop equals the reference's load_mosaic +
+    random_perspective_rotation(border=-s/2) pixel-exactly when every random
+    draw is pinned to its midpoint (the published recipe runs the warp with
+    degrees=translate=scale=shear=perspective=0, so the only randomness is
+    the mosaic center).  Ref: datasets_rotation.py:603-660,
+    augmentations.py:93-175."""
+    import random as pyrandom
+    import types
+
+    ns = load_reference()
+    s = 64
+    imgs = [np.ascontiguousarray(
+        rng.integers(0, 255, (s, s, 3)).astype(np.uint8)) for _ in range(4)]
+    labels = []
+    for i in range(4):
+        poly = np.array([0.3, 0.3, 0.7, 0.35, 0.65, 0.7, 0.25, 0.65])
+        poly = (poly + 0.02 * i).clip(0, 1)
+        labels.append(np.concatenate([[float(i % 3)], poly])[None].astype(np.float32))
+
+    fake_self = types.SimpleNamespace(
+        img_size=s, mosaic_border=[-s // 2, -s // 2],
+        indices=list(range(4)), labels=labels,
+        hyp={"degrees": 0, "translate": 0, "scale": 0, "shear": 0,
+             "perspective": 0},
+    )
+
+    orig_load = ns.datasets.load_image
+    orig_uniform = pyrandom.uniform
+    orig_choices = pyrandom.choices
+    orig_shuffle = pyrandom.shuffle
+    try:
+        ns.datasets.load_image = (
+            lambda self, i: (imgs[i], (s, s), (s, s)))
+        pyrandom.uniform = lambda a, b: (a + b) / 2.0   # center of range
+        pyrandom.choices = lambda seq, k: list(seq[1:k + 1])
+        pyrandom.shuffle = lambda x: None
+        ref_img, ref_labels = ns.datasets.load_mosaic(fake_self, 0)
+    finally:
+        ns.datasets.load_image = orig_load
+        pyrandom.uniform = orig_uniform
+        pyrandom.choices = orig_choices
+        pyrandom.shuffle = orig_shuffle
+
+    from s2anet_tpu.data.augment import mosaic4, mosaic_center_crop
+
+    class FakeRng:
+        def uniform(self, a=0.0, b=1.0, size=None):
+            return (a + b) / 2.0
+        def integers(self, a, b=None):
+            return a
+
+    samples = []
+    for i in range(4):
+        polys = labels[i][:, 1:].copy()
+        polys[:, 0::2] *= s
+        polys[:, 1::2] *= s
+        samples.append((imgs[i], polys, labels[i][:, 0].astype(np.int32)))
+    canvas, p4, c4 = mosaic4(samples, s, 114, FakeRng())
+    our_img, our_p, our_c = mosaic_center_crop(canvas, p4, c4, s)
+
+    assert ref_img.shape == our_img.shape == (s, s, 3)
+    np.testing.assert_array_equal(np.asarray(our_img), ref_img)
+
+    # same surviving label set, polygon coords within warp epsilon
+    assert len(ref_labels) == len(our_p)
+    ref_sorted = ref_labels[np.lexsort(ref_labels.T[::-1])]
+    ours = np.concatenate([our_c[:, None].astype(np.float64), our_p], 1)
+    ours_sorted = ours[np.lexsort(ours.T[::-1])]
+    np.testing.assert_allclose(ours_sorted, ref_sorted, atol=1e-6)
