@@ -64,3 +64,47 @@ def test_graft_entry_smoke():
 
     fn, args = ge.entry()
     jax.eval_shape(fn, *args)  # trace without compiling
+
+
+@pytest.mark.slow
+def test_spatial_sharded_inference_matches_single_device(rng):
+    """Whole-image inference with the HEIGHT axis sharded over the mesh must
+    equal the unsharded result — XLA SPMD inserts conv halos and decode/NMS
+    collectives; no host-side chipping or merge (the reference's only path
+    for large images)."""
+    import jax.numpy as jnp
+
+    from s2anet_tpu.models.detector import S2ANet
+    from s2anet_tpu.models.head import s2anet_get_bboxes
+    from s2anet_tpu.parallel.spatial import make_spatial_eval_step, shard_image
+    from s2anet_tpu.utils.config import ModelConfig
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+
+    size = 2 * len(jax.devices()) * 128  # 2 stride-128 rows per shard
+    mc = ModelConfig(num_classes=3, max_per_img=32, pre_nms_cap=128,
+                     max_before_nms_per_level=64)
+    model = S2ANet(backbone_name="resnet18", num_classes=3)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, size, size, 3)), train=False)
+    imgs = jnp.asarray(
+        rng.uniform(size=(1, size, size, 3)).astype(np.float32))
+
+    step, mesh = make_spatial_eval_step(
+        model, model_cfg=mc, compute_dtype=jnp.float32)
+    boxes_sh, labels_sh, valid_sh = step(variables, shard_image(mesh, imgs))
+
+    ref = jax.jit(lambda v, x: s2anet_get_bboxes(
+        model.apply(v, x, train=False),
+        score_thr=mc.score_thr, iou_thr=mc.nms_iou_thr,
+        max_before_nms_per_level=mc.max_before_nms_per_level,
+        max_per_img=mc.max_per_img, pre_nms_cap=mc.pre_nms_cap,
+    ))(variables, imgs)
+    boxes_ref, labels_ref, valid_ref = ref
+
+    np.testing.assert_array_equal(np.asarray(valid_sh), np.asarray(valid_ref))
+    np.testing.assert_array_equal(np.asarray(labels_sh),
+                                  np.asarray(labels_ref))
+    np.testing.assert_allclose(np.asarray(boxes_sh), np.asarray(boxes_ref),
+                               rtol=1e-4, atol=1e-3)
