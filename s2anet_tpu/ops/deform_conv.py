@@ -291,6 +291,8 @@ def _deform_bwd(res, g, with_offset_grad: bool = True):
 
     # one scatter for all taps: updates [B, HW, 9, 4, cin] = outer product of
     # the corner weights with ds_all, in (b, p, t) row order matching `rows`
+    # (chunking over taps was measured slower: 2 extra operand RMW passes
+    # outweigh any rematerialization relief)
     w4 = jnp.stack(w4s, 2)                                # [B, HW, 9, 4]
     upd = (ds_all[..., None, :].astype(acc_dt)
            * w4[..., None]).reshape(-1, 4 * cin)          # [B*HW*9, 4C]

@@ -88,7 +88,9 @@ def rotate_arf(weight, n_rotation: int = 8):
     cout, cin, n_orient, kh, kw = weight.shape
     assert kh == kw
     gather = jnp.asarray(_arf_gather_indices(n_orient, n_rotation, kh))
-    flat = weight.reshape(cout, cin, n_orient * kh * kw)
+    # jnp conversion first: a plain-numpy weight (e.g. a checkpoint closed
+    # over by a jitted fn) indexed with a traced constant would fail
+    flat = jnp.asarray(weight).reshape(cout, cin, n_orient * kh * kw)
     # [Cout, Cin, nRot, nEntry]
     expanded = flat[:, :, gather]
     expanded = expanded.transpose(0, 2, 1, 3)  # [Cout, nRot, Cin, nEntry]

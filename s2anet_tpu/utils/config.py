@@ -157,11 +157,14 @@ def _merge(dc, overrides: dict):
 
 def load_config(path=None, overrides: Optional[dict] = None) -> Config:
     cfg = Config()
+    names_explicit = False
     if path:
         with open(path) as f:
             loaded = yaml.safe_load(f) or {}
+        names_explicit |= "names" in (loaded.get("data") or {})
         cfg = _merge(cfg, loaded)
     if overrides:
+        names_explicit |= bool((overrides.get("data") or {}).get("names"))
         cfg = _merge(cfg, overrides)
     if isinstance(cfg.data.names, str):  # resolve class-list preset keys
         names = NAMES_PRESETS.get(cfg.data.names.lower())
@@ -173,4 +176,22 @@ def load_config(path=None, overrides: Optional[dict] = None) -> Config:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, names=names)
         )
+    # keep the class list and the model head consistent (mAP averages over
+    # len(names) — stale slots silently dilute it): an explicitly chosen
+    # class list drives num_classes; otherwise the default list adapts to
+    # the requested head size (truncate / synthesize placeholder names)
+    if len(cfg.data.names) != cfg.model.num_classes:
+        if names_explicit:
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(
+                    cfg.model, num_classes=len(cfg.data.names))
+            )
+        else:
+            names = tuple(cfg.data.names)[: cfg.model.num_classes]
+            names += tuple(
+                f"class{i}" for i in range(len(names), cfg.model.num_classes)
+            )
+            cfg = dataclasses.replace(
+                cfg, data=dataclasses.replace(cfg.data, names=names)
+            )
     return cfg
