@@ -202,8 +202,10 @@ def evaluate_on_chips(model, state, cfg, mesh=None, dataset=None,
 
                 ratio = min(s / h0, s / w0)
                 pad = ((s - w0 * ratio) / 2, (s - h0 * ratio) / 2)
+                # no center clipping: scale_coords_rotated leaves
+                # out-of-frame detections as-is (general.py:647-648)
                 boxes_k[:, :5] = unletterbox_rboxes(
-                    boxes_k[:, :5], ratio, pad, (h0, w0)
+                    boxes_k[:, :5], ratio, pad
                 )
             dets = []
             polys, scores = detections_to_polys(boxes_k, det_valid[k])

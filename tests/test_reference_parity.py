@@ -470,3 +470,71 @@ def test_mosaic_matches_reference_center_crop(rng):
     ours = np.concatenate([our_c[:, None].astype(np.float64), our_p], 1)
     ours_sorted = ours[np.lexsort(ours.T[::-1])]
     np.testing.assert_allclose(ours_sorted, ref_sorted, atol=1e-6)
+
+
+# ----------------------------------------------------- letterbox / unscale
+def test_letterbox_matches_reference(rng):
+    """Pixel-exact letterbox parity (augmentations.py:59-90, auto=False)."""
+    ns = load_reference()
+    from s2anet_tpu.data.augment import letterbox
+
+    for h, w, target in ((100, 160, 128), (200, 120, 256), (64, 64, 64)):
+        img = np.ascontiguousarray(
+            rng.integers(0, 255, (h, w, 3)).astype(np.uint8))
+        ref_img, ref_ratio, (ref_dw, ref_dh) = ns.augmentations.letterbox(
+            img.copy(), target, auto=False, scaleup=True)
+        our_img, our_r, (our_left, our_top) = letterbox(img.copy(), target)
+        np.testing.assert_array_equal(our_img, ref_img)
+        assert our_r == pytest.approx(ref_ratio[0])
+        # ours returns integer left/top pads; reference float half-pads
+        assert our_left == int(round(ref_dw - 0.1))
+        assert our_top == int(round(ref_dh - 0.1))
+
+
+def test_unletterbox_matches_scale_coords_rotated(rng):
+    """unletterbox_rboxes == scale_coords_rotated (general.py:629-649):
+    subtract pad, divide x/y/w/h by gain, theta untouched, NO clipping."""
+    import torch
+
+    ns = load_reference()
+    from s2anet_tpu.data.augment import unletterbox_rboxes
+
+    h0, w0, s = 300, 400, 512
+    gain = min(s / h0, s / w0)
+    pad = ((s - w0 * gain) / 2, (s - h0 * gain) / 2)
+    boxes = rng.uniform(-50, 560, (12, 6)).astype(np.float64)
+    boxes[:, 2:4] = np.abs(boxes[:, 2:4]) + 1
+    ref = ns.general.scale_coords_rotated(
+        (s, s), torch.from_numpy(boxes.copy()), (h0, w0)).numpy()
+    ours = unletterbox_rboxes(boxes[:, :5].copy(), gain, pad)
+    np.testing.assert_allclose(ours, ref[:, :5], rtol=1e-9, atol=1e-9)
+
+
+def test_hsv_augment_matches_reference(rng):
+    """HSV LUT parity (augmentations.py:15-31) with pinned random gains."""
+    ns = load_reference()
+    from s2anet_tpu.data.augment import hsv_augment
+
+    img = np.ascontiguousarray(
+        rng.integers(0, 255, (48, 64, 3)).astype(np.uint8))
+    # pin draws to 0.85 of the range — NOT the midpoint, which would give
+    # identity gains (r = 0*g + 1) and a vacuous comparison
+    def pinned(a, b, size=None):
+        v = a + 0.85 * (b - a)
+        return np.full(size, v) if size is not None else v
+
+    orig_uniform = np.random.uniform
+    try:
+        np.random.uniform = pinned
+        ref = img.copy()
+        ns.augmentations.augment_hsv(ref, 0.3, 0.5, 0.4)  # in-place
+    finally:
+        np.random.uniform = orig_uniform
+
+    class PinnedRng:
+        def uniform(self, a=-1.0, b=1.0, size=None):
+            return pinned(a, b, size)
+
+    ours = hsv_augment(img.copy(), 0.3, 0.5, 0.4, rng=PinnedRng())
+    assert not np.array_equal(ours, img)  # the gains actually did something
+    np.testing.assert_array_equal(ours, ref)
