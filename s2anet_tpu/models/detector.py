@@ -28,6 +28,7 @@ class S2ANet(nn.Module):
     frozen_stages: int = -1
     norm_eval: bool = False
     with_orconv: bool = True
+    backbone_remat: bool = False
 
     @nn.compact
     def __call__(self, imgs, train: bool = False):
@@ -36,6 +37,7 @@ class S2ANet(nn.Module):
             arch=self.backbone_name,
             frozen_stages=self.frozen_stages,
             norm_eval=self.norm_eval,
+            remat=self.backbone_remat and train,
             name="backbone",
         )(imgs, train=train)
         pyramid = FPN(

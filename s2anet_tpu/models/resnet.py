@@ -141,7 +141,7 @@ class Bottleneck(nn.Module):
     def __call__(self, x):
         residual = x
         y = nn.Conv(self.planes, (1, 1), use_bias=False,
-                    kernel_init=_he_init, name="conv1")(x)
+                    kernel_init=_he_init, dtype=self.dtype, name="conv1")(x)
         y = _BatchNorm(not self.train, "bn1", self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3), (self.stride, self.stride),
@@ -178,6 +178,11 @@ class ResNetBackbone(nn.Module):
     frozen_stages: int = -1
     norm_eval: bool = False
     out_indices: Sequence[int] = (2, 3, 4)
+    # explicit per-block rematerialization: save only block boundaries and
+    # recompute block internals in the backward. The 1024^2 train step runs
+    # at the HBM cliff, where XLA's ad-hoc spilling/remat is worse than a
+    # structured policy; measured on v5e (see BENCH.md)
+    remat: bool = False
     # computation dtype; None = compute in the INPUT's dtype (bf16 images ->
     # bf16 MXU convs + bf16 activations, the TPU-native training config;
     # f32 in tests -> exact f32)
@@ -188,6 +193,8 @@ class ResNetBackbone(nn.Module):
         dtype = self.dtype if self.dtype is not None else x.dtype
         block_kind, layer_cfg = ARCH_SETTINGS[self.arch]
         block = BasicBlock if block_kind == "basic" else Bottleneck
+        if self.remat:
+            block = nn.remat(block)
         expansion = 1 if block_kind == "basic" else 4
 
         def bn_train(stage_idx: int) -> bool:
