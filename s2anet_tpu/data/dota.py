@@ -77,7 +77,7 @@ class DotaDataset:
         pad_value: int = 114,
         class_names: Optional[Sequence[str]] = None,
         verify: bool = False,
-        cache_images: str = "",        # "" | "ram" | "disk"
+        cache_images: str = "",        # "" | "ram" | "disk" | "packed"
         cache_labels: bool = True,
     ):
         self.img_size = img_size
@@ -133,6 +133,14 @@ class DotaDataset:
         self._img_cache = (
             [None] * len(self.img_files) if cache_images == "ram" else None
         )
+        self._pack = None
+        if cache_images == "packed" and self.img_files:
+            # one mmap-able pre-decoded shard: warm epochs skip PNG decode
+            # entirely and read at page-cache speed (packed_cache.py)
+            from .packed_cache import PackedImageCache
+
+            self._pack = PackedImageCache(self.img_files)
+            self._pack.build()
 
     # -- label cache (datasets_rotation.py:294-327: hash-validated .cache) --
     def _cache_key(self) -> str:
@@ -182,16 +190,25 @@ class DotaDataset:
 
         ``cache_images="ram"`` keeps decoded arrays resident (the reference's
         --cache ram, datasets_rotation.py:360-388); ``"disk"`` stores raw
-        .npy sidecars so later epochs skip PNG decode."""
+        .npy sidecars so later epochs skip PNG decode; ``"packed"`` serves
+        zero-copy views from the single pre-decoded mmap shard."""
         import cv2
 
         if self._img_cache is not None and self._img_cache[i] is not None:
             return self._img_cache[i]
+        if self._pack is not None:
+            return self._pack.get(i)
         path = self.img_files[i]
         if self.cache_images == "disk":
             npy = path.with_suffix(".npy")
-            if npy.exists():
-                return np.load(npy)
+            try:
+                # serve the sidecar only when it is newer than the source
+                # image — regenerated/re-chipped images must not yield stale
+                # cached pixels
+                if npy.stat().st_mtime >= path.stat().st_mtime:
+                    return np.load(npy)
+            except OSError:
+                pass
         img = cv2.imread(str(path))
         if img is None:
             raise FileNotFoundError(path)
@@ -299,11 +316,20 @@ class DotaDataset:
 
 
 class BatchLoader:
-    """Shuffling, sharded, thread-prefetched batch iterator.
+    """Shuffling, sharded, prefetched batch iterator (threads or processes).
 
     Per-host sharding (``shard``/``num_shards``) is the jax.process analogue
     of DistributedSampler; epoch-seeded shuffling mirrors
     sampler.set_epoch (train.py:311-312).
+
+    ``mode="process"`` runs the decode+augment workers as forked PROCESSES
+    writing straight into shared-memory batch slots — cv2/numpy hold the GIL
+    for much of a sample's host work, so threads stop scaling after a few
+    cores while a TPU-VM host has ~100; processes + shm make the loader
+    scale with cores (the DataLoader(num_workers=N) analogue,
+    datasets_rotation.py:120-128). Falls back to threads when fork is
+    unavailable. Batch order and augmentation randomness are IDENTICAL in
+    both modes (the rng is seeded per batch index, not per worker).
     """
 
     def __init__(
@@ -315,13 +341,15 @@ class BatchLoader:
         shard: int = 0,
         num_shards: int = 1,
         drop_last: bool = True,
-        num_workers: Optional[int] = None,   # None = min(4, host cores)
+        num_workers: Optional[int] = None,   # None = auto per mode
         prefetch: int = 4,
+        mode: str = "thread",                # "thread" | "process"
     ):
-        if num_workers is None:
-            import os
+        import os
 
-            num_workers = min(4, os.cpu_count() or 1)
+        if num_workers is None:
+            cores = os.cpu_count() or 1
+            num_workers = cores if mode == "process" else min(4, cores)
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -330,7 +358,8 @@ class BatchLoader:
         self.num_shards = num_shards
         self.drop_last = drop_last
         self.num_workers = num_workers
-        self.prefetch = prefetch
+        self.prefetch = max(prefetch, 2)
+        self.mode = mode
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -347,7 +376,11 @@ class BatchLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
-        return idx[self.shard:: self.num_shards]
+        # equalized shard lengths: every shard yields exactly
+        # len(ds) // num_shards samples, so multi-host training runs the
+        # same step count on every process (unequal lengths would deadlock
+        # the collectives mid-epoch)
+        return idx[self.shard:: self.num_shards][: len(self.ds) // self.num_shards]
 
     def __iter__(self):
         from concurrent.futures import ThreadPoolExecutor
@@ -359,6 +392,14 @@ class BatchLoader:
             for i in range(nb)
         ]
         rng_seed = self.seed * 100003 + self.epoch
+
+        if self.mode == "process" and self.num_workers > 1 and nb:
+            import multiprocessing as mp
+
+            if "fork" in mp.get_all_start_methods():
+                yield from self._iter_processes(batches, rng_seed)
+                return
+            # no fork (non-POSIX): fall through to the thread path
 
         def load(args):
             bi, batch_idx = args
@@ -390,3 +431,127 @@ class BatchLoader:
                 except StopIteration:
                     pass
                 yield batch
+
+    # ------------------------------------------------------ process mode
+    def _slot_layout(self):
+        b, s, g = self.batch_size, self.ds.img_size, self.ds.max_gt
+        sizes = [b * s * s * 3 * 4, b * g * 5 * 4, b * g * 4, b * g]
+        offs = np.cumsum([0] + sizes)
+        return offs, int(offs[-1])
+
+    def _slot_views(self, buf):
+        """Per-slot shared-memory views: (imgs, gt_boxes, gt_classes, gt_mask)."""
+        b, s, g = self.batch_size, self.ds.img_size, self.ds.max_gt
+        offs, _ = self._slot_layout()
+        return (
+            np.frombuffer(buf, np.float32, b * s * s * 3, offs[0]).reshape(
+                b, s, s, 3),
+            np.frombuffer(buf, np.float32, b * g * 5, offs[1]).reshape(b, g, 5),
+            np.frombuffer(buf, np.int32, b * g, offs[2]).reshape(b, g),
+            np.frombuffer(buf, bool, b * g, offs[3]).reshape(b, g),
+        )
+
+    def _iter_processes(self, batches, rng_seed):
+        import multiprocessing as mp
+        from multiprocessing import shared_memory
+
+        ctx = mp.get_context("fork")
+        nb = len(batches)
+        nslots = min(max(self.prefetch, self.num_workers), nb)
+        nworkers = min(self.num_workers, nslots)
+
+        _, slot_bytes = self._slot_layout()
+        shms = [shared_memory.SharedMemory(create=True, size=slot_bytes)
+                for _ in range(nslots)]
+        task_q = ctx.Queue()
+        res_q = ctx.Queue()
+        workers = [
+            ctx.Process(
+                target=_batch_worker,
+                args=(self, [sh.name for sh in shms], task_q, res_q, rng_seed),
+                daemon=True,
+            )
+            for _ in range(nworkers)
+        ]
+        for w in workers:
+            w.start()
+        try:
+            submitted = 0
+            for slot in range(nslots):
+                task_q.put((submitted, slot, batches[submitted]))
+                submitted += 1
+            expected = 0
+            ready = {}
+            while expected < nb:
+                bi, slot, b, paths, orig_shapes, err = res_q.get()
+                if err is not None:
+                    raise RuntimeError(f"loader worker failed:\n{err}")
+                ready[bi] = (slot, b, paths, orig_shapes)
+                while expected in ready:
+                    slot, b, paths, orig_shapes = ready.pop(expected)
+                    views = self._slot_views(shms[slot].buf)
+                    out = {
+                        k: np.array(v[:b])  # copy out before slot reuse
+                        for k, v in zip(
+                            ("imgs", "gt_boxes", "gt_classes", "gt_mask"),
+                            views,
+                        )
+                    }
+                    out["paths"] = paths
+                    out["orig_shapes"] = orig_shapes
+                    del views
+                    if submitted < nb:
+                        task_q.put((submitted, slot, batches[submitted]))
+                        submitted += 1
+                    expected += 1
+                    yield out
+        finally:
+            for _ in workers:
+                task_q.put(None)
+            for w in workers:
+                w.join(timeout=5)
+                if w.is_alive():
+                    w.terminate()
+            for sh in shms:
+                try:
+                    sh.close()
+                    sh.unlink()
+                except Exception:
+                    pass
+
+
+def _batch_worker(loader: "BatchLoader", shm_names, task_q, res_q, rng_seed):
+    """Forked worker: load batches into shared-memory slots until sentinel."""
+    import traceback
+    from multiprocessing import shared_memory
+
+    try:
+        import cv2
+
+        cv2.setNumThreads(0)  # one decode per worker; no nested thread pools
+    except Exception:
+        pass
+    shms = [shared_memory.SharedMemory(name=n) for n in shm_names]
+    views = [loader._slot_views(sh.buf) for sh in shms]
+    while True:
+        task = task_q.get()
+        if task is None:
+            break
+        bi, slot, batch_idx = task
+        try:
+            rng = np.random.default_rng(rng_seed + bi)
+            imgs_v, boxes_v, cls_v, mask_v = views[slot]
+            paths, orig_shapes = [], []
+            for k, j in enumerate(batch_idx):
+                s = loader.ds.get_sample(int(j), rng)
+                imgs_v[k] = s["imgs"]
+                boxes_v[k] = s["gt_boxes"]
+                cls_v[k] = s["gt_classes"]
+                mask_v[k] = s["gt_mask"]
+                paths.append(s["path"])
+                orig_shapes.append(s["orig_shape"])
+            res_q.put((bi, slot, len(batch_idx), paths, orig_shapes, None))
+        except Exception:
+            res_q.put((bi, slot, 0, [], [], traceback.format_exc()))
+    for sh in shms:
+        sh.close()

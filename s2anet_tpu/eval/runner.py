@@ -137,7 +137,8 @@ def evaluate_on_chips(model, state, cfg, mesh=None, dataset=None,
         class_names=cfg.data.names,
     )
     loader = BatchLoader(
-        dataset, cfg.eval.batch_size, shuffle=False, drop_last=False
+        dataset, cfg.eval.batch_size, shuffle=False, drop_last=False,
+        num_workers=cfg.data.workers or None, mode=cfg.data.loader,
     )
     dtype = jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
     if eval_step is None:
@@ -179,10 +180,13 @@ def evaluate_on_chips(model, state, cfg, mesh=None, dataset=None,
         out = eval_step(state, step_in)
         if with_loss:
             det_boxes, det_labels, det_valid, loss_items = out
+            # weight by the REAL image count b: the final partial batch is
+            # zero-padded to the static batch size and its padded images
+            # (no gt) would otherwise dilute val/*_loss with full weight
             mean_loss += (
                 np.asarray(jax.device_get(loss_items)) - mean_loss
-            ) / (n_loss + 1)
-            n_loss += 1
+            ) * (b / (n_loss + b))
+            n_loss += b
         else:
             det_boxes, det_labels, det_valid = out
         det_boxes = np.asarray(jax.device_get(det_boxes))[:b]

@@ -229,8 +229,12 @@ def _deform_bwd(res, g, with_offset_grad: bool = True):
     # (parity = (cy%2, cx%2)), making the whole [2, 2, C] window a single
     # contiguous row of a [4 * B * Hb * Wb, 4C] operand. 4x fewer rows; the
     # tilings fold back into dx with dense shifted adds. Accumulation dtype
-    # follows the input (bf16 training matches the reference's fp16 atomicAdd
-    # accumulation under AMP, deform_conv_cuda_kernel.cu:279-338).
+    # follows the input: bf16 training accumulates dx in bf16, ANALOGOUS to
+    # (not bit-equivalent with) the reference's fp16 atomicAdd under AMP
+    # (deform_conv_cuda_kernel.cu:279-338; bf16 has 7 mantissa bits vs fp16's
+    # 10). The end-to-end bf16 acceptance run converges to the same mAP50 as
+    # fp32 (BENCH.md "training acceptance"); pass f32 inputs for exact-f32
+    # accumulation.
     acc_dt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     hb, wb = h2 // 2 + 1, w2 // 2 + 1
 

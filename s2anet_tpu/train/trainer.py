@@ -23,7 +23,13 @@ import numpy as np
 
 from ..data.dota import BatchLoader, DotaDataset
 from ..models.detector import S2ANet
-from ..parallel.mesh import make_mesh_for_batch, replicate_state, shard_batch
+from ..parallel.mesh import (
+    is_main_process,
+    local_mesh_for_batch,
+    make_mesh_for_batch,
+    replicate_state,
+    shard_batch,
+)
 from ..parallel.step import make_train_step
 from ..utils.callbacks import Callbacks
 from ..utils.config import Config
@@ -39,15 +45,40 @@ def fitness(metrics: dict) -> float:
     return float(metrics.get("map50", 0.0))
 
 
+class _NullLoggers:
+    """Non-main-process logger: accepts the Loggers API, writes nothing."""
+
+    wandb = tb = None
+
+    def log_metrics(self, metrics, step):
+        pass
+
+    def close(self):
+        pass
+
+
 class Trainer:
     def __init__(self, cfg: Config, callbacks: Optional[Callbacks] = None):
         self.cfg = cfg
         self.callbacks = callbacks or Callbacks()
+        # rank-0-only host work (checkpoints, logs, plots, val) — the
+        # torch_distributed_zero_first analogue (torch_utils.py:29-41)
+        self.is_main = is_main_process()
+        self.num_processes = jax.process_count()
         self.save_dir = Path(cfg.train.save_dir)
-        self.save_dir.mkdir(parents=True, exist_ok=True)
-        (self.save_dir / "weights").mkdir(exist_ok=True)
-        cfg.save(self.save_dir / "config.yaml")
-        self.loggers = Loggers(self.save_dir)
+        if self.is_main:
+            self.save_dir.mkdir(parents=True, exist_ok=True)
+            (self.save_dir / "weights").mkdir(exist_ok=True)
+            cfg.save(self.save_dir / "config.yaml")
+            self.loggers = Loggers(
+                self.save_dir,
+                use_wandb=bool(cfg.train.wandb_project),
+                wandb_project=cfg.train.wandb_project,
+                wandb_entity=cfg.train.wandb_entity,
+                run_config=cfg.to_dict(),
+            )
+        else:
+            self.loggers = _NullLoggers()
 
         self.model = S2ANet(
             backbone_name=cfg.model.backbone,
@@ -56,6 +87,7 @@ class Trainer:
             frozen_stages=cfg.model.frozen_stages,
             norm_eval=cfg.model.norm_eval,
             with_orconv=cfg.model.with_orconv,
+            backbone_remat=cfg.model.backbone_remat,
         )
         self.mesh = make_mesh_for_batch(
             cfg.train.batch_size, cfg.eval.batch_size
@@ -140,8 +172,18 @@ class Trainer:
             class_names=cfg.data.names,
             cache_images=cfg.data.cache,
         )
+        # cfg.train.batch_size is the GLOBAL batch; each process loads its
+        # own slice of every global batch (DistributedSampler analogue:
+        # sharded indices + per-process local batch, datasets_rotation.py:111)
+        assert cfg.train.batch_size % self.num_processes == 0, (
+            f"global batch {cfg.train.batch_size} must divide over "
+            f"{self.num_processes} processes"
+        )
         loader = BatchLoader(
-            train_ds, cfg.train.batch_size, shuffle=True, seed=cfg.train.seed
+            train_ds, cfg.train.batch_size // self.num_processes,
+            shuffle=True, seed=cfg.train.seed,
+            shard=jax.process_index(), num_shards=self.num_processes,
+            num_workers=cfg.data.workers or None, mode=cfg.data.loader,
         )
         steps_per_epoch = max(len(loader), 1)
         state = self.build_state(steps_per_epoch)
@@ -164,7 +206,7 @@ class Trainer:
             mesh=self.mesh,
         )
 
-        if cfg.train.plots:
+        if cfg.train.plots and self.is_main:
             self._plot_label_stats(train_ds)
         self.callbacks.run("on_train_start")
         best_fitness = float(jax.device_get(state.best_fitness))
@@ -175,7 +217,8 @@ class Trainer:
             t0 = time.time()
             for i, batch in enumerate(loader):
                 self.callbacks.run("on_train_batch_start")
-                if cfg.train.plots and epoch == start_epoch and i < 3:
+                if (cfg.train.plots and self.is_main
+                        and epoch == start_epoch and i < 3):
                     self._plot_train_batch(batch, i)
                 device_batch = shard_batch(
                     self.mesh,
@@ -205,9 +248,20 @@ class Trainer:
             }
             if cfg.train.val_every_epoch and cfg.data.val_list:
                 final = epoch == cfg.train.epochs - 1
-                val_metrics = self.validate(state, save_results=final)
-                metrics.update(val_metrics)
-                fit = fitness(val_metrics)
+                if self.is_main:  # rank-0 val (train.py:394-412)
+                    val_metrics = self.validate(state, save_results=final)
+                    metrics.update(val_metrics)
+                    fit = fitness(val_metrics)
+                else:
+                    fit = 0.0
+                if self.num_processes > 1:
+                    # every process must carry the SAME best_fitness into
+                    # the replicated state (and this doubles as the epoch
+                    # barrier while rank 0 validates)
+                    from jax.experimental import multihost_utils
+
+                    fit = float(multihost_utils.broadcast_one_to_all(
+                        np.float32(fit)))
             else:
                 fit = 0.0
             self.loggers.log_metrics(metrics, epoch)
@@ -219,24 +273,29 @@ class Trainer:
             # persist best fitness into the state so --resume restores the
             # comparison point (reference train.py:203-220)
             state = state.replace(
-                best_fitness=jnp.asarray(best_fitness, jnp.float32)
+                best_fitness=replicate_state(
+                    self.mesh, jnp.asarray(best_fitness, jnp.float32))
             )
-            host_state = jax.device_get(state)
-            save_checkpoint(self.save_dir / "weights" / "last", host_state,
-                            {"epoch": epoch, "fitness": fit})
-            if new_best:
-                save_checkpoint(self.save_dir / "weights" / "best", host_state,
+            if self.is_main:
+                host_state = jax.device_get(state)
+                save_checkpoint(self.save_dir / "weights" / "last", host_state,
                                 {"epoch": epoch, "fitness": fit})
-            if cfg.train.save_period > 0 and epoch % cfg.train.save_period == 0:
-                save_checkpoint(
-                    self.save_dir / "weights" / f"epoch{epoch}", host_state,
-                    {"epoch": epoch, "fitness": fit})
+                if new_best:
+                    save_checkpoint(self.save_dir / "weights" / "best",
+                                    host_state, {"epoch": epoch, "fitness": fit})
+                if (cfg.train.save_period > 0
+                        and epoch % cfg.train.save_period == 0):
+                    save_checkpoint(
+                        self.save_dir / "weights" / f"epoch{epoch}", host_state,
+                        {"epoch": epoch, "fitness": fit})
             self.callbacks.run("on_model_save")
 
-        strip_for_deploy(jax.device_get(state), self.save_dir / "weights" / "deploy")
+        if self.is_main:
+            strip_for_deploy(jax.device_get(state),
+                             self.save_dir / "weights" / "deploy")
         self.callbacks.run("on_train_end")
         self.loggers.close()
-        if cfg.train.plots:
+        if cfg.train.plots and self.is_main:
             try:
                 from ..utils.plots import plot_results_csv
 
@@ -311,17 +370,28 @@ class Trainer:
             )
             from ..parallel.step import make_eval_step
 
+            # multi-host: val is rank-0-only and host-driven, so it runs on
+            # THIS process's devices (the other processes wait at the next
+            # collective — the broadcast in train())
+            self._val_mesh = (
+                self.mesh if self.num_processes == 1
+                else local_mesh_for_batch(cfg.eval.batch_size)
+            )
             dtype = (jnp.bfloat16 if cfg.train.dtype == "bfloat16"
                      else jnp.float32)
             self._val_step = make_eval_step(
                 self.model, model_cfg=cfg.model, compute_dtype=dtype,
-                mesh=self.mesh, use_ema=True, with_loss=True,
+                mesh=self._val_mesh, use_ema=True, with_loss=True,
                 imgs_size=(cfg.data.img_size, cfg.data.img_size),
                 num_classes=cfg.model.num_classes,
             )
+        if self.num_processes > 1:
+            # global-mesh state -> local val mesh (replicas are addressable
+            # on every process, so this is a local copy, not a transfer)
+            state = replicate_state(self._val_mesh, jax.device_get(state))
         out = evaluate_on_chips(
             self.model, state, cfg,
-            mesh=self.mesh,
+            mesh=self._val_mesh,
             dataset=self._val_dataset,
             eval_step=self._val_step,
             with_loss=True,

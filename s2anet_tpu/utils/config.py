@@ -33,6 +33,9 @@ class ModelConfig:
     fpn_balance: Sequence[float] = (1.0, 1.0, 1.0, 1.0, 1.0)
     # assignment IoU backend: "auto" = Pallas kernel on TPU, XLA elsewhere
     assign_iou_impl: str = "auto"     # auto | xla | pallas
+    # rematerialize backbone activations in the backward (trades FLOPs for
+    # HBM when the step sits at the memory cliff; off = let XLA decide)
+    backbone_remat: bool = False
     # inference (head.py:73-76)
     score_thr: float = 0.05
     nms_iou_thr: float = 0.5
@@ -69,7 +72,12 @@ class DataConfig:
     names: Sequence[str] = DOTA10_CLASSES
     img_size: int = 1024
     max_gt: int = 512                 # padded gt capacity per image
-    cache: str = ""                   # image cache: "" | "ram" | "disk"
+    cache: str = ""                   # image cache: "" | "ram" | "disk" | "packed"
+    # host loader: worker count (0 = auto) and worker kind — "process"
+    # scales decode+augment with host cores via forked workers + shared
+    # memory; "thread" is the low-footprint default
+    workers: int = 0
+    loader: str = "thread"            # "thread" | "process"
     # augmentation (hyp.scratch.s2anet.yaml: only fliplr + 90-degree rotation)
     fliplr: float = 0.5
     flipud: float = 0.0
@@ -114,6 +122,10 @@ class TrainConfig:
     # 0 disables. accumulate = max(round(nominal / batch_size), 1)
     nominal_batch_size: int = 0
     plots: bool = True                # batch mosaics, label stats, PR curves
+    # W&B experiment tracking (utils/loggers/wandb/wandb_utils.py:106 parity):
+    # empty project = off; logs the same key set as CSV/TB plus the run config
+    wandb_project: str = ""
+    wandb_entity: str = ""
 
 
 @dataclass

@@ -1,8 +1,10 @@
-"""Metric logging: CSV always, TensorBoard when available.
+"""Metric logging: CSV always, TensorBoard when available, W&B on request.
 
 Parity: /root/reference/utils/loggers/__init__.py:40-181 (csv results +
 TB scalars; the same key set — 4 train losses, P/R/mAP50, 4 val losses,
-LR). W&B is intentionally not bundled; the CSV schema is its superset.
+LR) and utils/loggers/wandb/wandb_utils.py:106-180 (run init with config,
+per-epoch metric logging). W&B activates only when a project is configured
+AND the wandb package imports; it is never a hard dependency.
 """
 
 from __future__ import annotations
@@ -10,7 +12,7 @@ from __future__ import annotations
 import csv
 import time
 from pathlib import Path
-from typing import Dict
+from typing import Dict, Optional
 
 LOG_KEYS = (
     "train/fam_cls_loss", "train/fam_reg_loss",
@@ -24,7 +26,8 @@ LOG_KEYS = (
 
 class Loggers:
     def __init__(self, save_dir, use_tensorboard: bool = True,
-                 use_wandb: bool = False, wandb_project: str = "s2anet_tpu"):
+                 use_wandb: bool = False, wandb_project: str = "s2anet_tpu",
+                 wandb_entity: str = "", run_config: Optional[dict] = None):
         self.save_dir = Path(save_dir)
         self.save_dir.mkdir(parents=True, exist_ok=True)
         self.csv_path = self.save_dir / "results.csv"
@@ -38,15 +41,19 @@ class Loggers:
             except Exception:
                 self.tb = None
         # W&B backend (utils/loggers/wandb parity): active only when the
-        # wandb package is importable AND explicitly requested
+        # wandb package is importable AND explicitly requested; the run
+        # carries the full config dict (wandb_utils.py:119 logs opt/hyp)
         self.wandb = None
         if use_wandb:
             try:
                 import wandb
 
                 self.wandb = wandb.init(
-                    project=wandb_project, name=self.save_dir.name,
+                    project=wandb_project or "s2anet_tpu",
+                    entity=wandb_entity or None,
+                    name=self.save_dir.name,
                     dir=str(self.save_dir), resume="allow",
+                    config=run_config,
                 )
             except Exception:
                 self.wandb = None

@@ -1,0 +1,373 @@
+"""Round-3 feature tests: W&B plumbing, val-loss padding fix, backbone
+remat wiring, disk-cache staleness.
+
+Covers the reference behaviors at utils/loggers/wandb/wandb_utils.py:106-180
+(W&B run with config), val.py:255 (val losses — here without padded-batch
+dilution), and the round-2 advisor findings on cache staleness and the
+unwired remat flag.
+"""
+
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------- W&B stub
+class _StubRun:
+    def __init__(self):
+        self.logged = []
+        self.finished = False
+
+    def log(self, metrics, step=None):
+        self.logged.append((step, dict(metrics)))
+
+    def finish(self):
+        self.finished = True
+
+
+def _install_stub_wandb(monkeypatch):
+    calls = {}
+    run = _StubRun()
+
+    mod = types.ModuleType("wandb")
+
+    def init(**kwargs):
+        calls.update(kwargs)
+        return run
+
+    mod.init = init
+    monkeypatch.setitem(sys.modules, "wandb", mod)
+    return calls, run
+
+
+def test_wandb_logger_init_log_finish(tmp_path, monkeypatch):
+    from s2anet_tpu.utils.loggers import Loggers
+
+    calls, run = _install_stub_wandb(monkeypatch)
+    lg = Loggers(
+        tmp_path, use_tensorboard=False, use_wandb=True,
+        wandb_project="proj-x", wandb_entity="team-y",
+        run_config={"train": {"lr0": 0.005}},
+    )
+    assert calls["project"] == "proj-x"
+    assert calls["entity"] == "team-y"
+    assert calls["config"] == {"train": {"lr0": 0.005}}
+    lg.log_metrics({"train/fam_cls_loss": 1.25, "notnum": "x"}, 3)
+    lg.close()
+    assert run.finished
+    step, metrics = run.logged[0]
+    assert step == 3
+    assert metrics["train/fam_cls_loss"] == 1.25
+    assert "notnum" not in metrics  # only numeric keys forwarded
+
+
+def test_wandb_off_by_default(tmp_path, monkeypatch):
+    from s2anet_tpu.utils.loggers import Loggers
+
+    calls, _ = _install_stub_wandb(monkeypatch)
+    lg = Loggers(tmp_path, use_tensorboard=False)
+    assert lg.wandb is None and not calls
+    lg.close()
+
+
+def test_trainer_plumbs_wandb_and_remat(tmp_path, monkeypatch):
+    """cfg.train.wandb_project reaches Loggers; cfg.model.backbone_remat
+    reaches the model (round-2 verdict item 5 + advisor finding 4)."""
+    from s2anet_tpu.train.trainer import Trainer
+    from s2anet_tpu.utils.config import load_config
+
+    calls, run = _install_stub_wandb(monkeypatch)
+    cfg = load_config(None, {
+        "model": {"backbone": "resnet18", "backbone_remat": True},
+        "train": {"save_dir": str(tmp_path / "run"),
+                  "wandb_project": "s2a-tests", "batch_size": 2},
+        "data": {"img_size": 64},
+    })
+    tr = Trainer(cfg)
+    assert tr.model.backbone_remat is True
+    assert tr.loggers.wandb is run
+    assert calls["project"] == "s2a-tests"
+    assert calls["config"]["model"]["backbone_remat"] is True
+    tr.loggers.close()
+
+
+# -------------------------------------------------- val-loss padding fix
+def test_val_loss_weighted_by_real_batch(tmp_path, rng):
+    """The final partial batch is zero-padded to the static batch size; its
+    loss items must enter the mean weighted by the REAL image count
+    (runner.py padding fix — round-2 verdict weak item 5)."""
+    import cv2
+
+    from s2anet_tpu.data.dota import DotaDataset
+    from s2anet_tpu.eval.runner import evaluate_on_chips
+    from s2anet_tpu.utils.config import load_config
+
+    img_dir = tmp_path / "images"
+    lbl_dir = tmp_path / "labels"
+    img_dir.mkdir(); lbl_dir.mkdir()
+    for i in range(3):  # batch_size 2 -> one full batch + one padded batch
+        cv2.imwrite(str(img_dir / f"im{i}.png"),
+                    rng.integers(0, 255, (64, 64, 3)).astype(np.uint8))
+        (lbl_dir / f"im{i}.txt").write_text(
+            "0 0.2 0.2 0.6 0.2 0.6 0.4 0.2 0.4\n")
+    cfg = load_config(None, {
+        "data": {"img_size": 64, "max_gt": 8,
+                 "names": ["a", "b"]},
+        "eval": {"batch_size": 2},
+    })
+    ds = DotaDataset(img_dir, img_size=64, max_gt=8, augment=False)
+
+    losses = iter([1.0, 4.0])
+
+    def fake_eval_step(state, batch):
+        b = batch["imgs"].shape[0]
+        k = 16
+        return (np.zeros((b, k, 6), np.float32),
+                np.zeros((b, k), np.int32),
+                np.zeros((b, k), bool),
+                np.full(4, next(losses), np.float32))
+
+    out = evaluate_on_chips(
+        model=None, state=None, cfg=cfg, dataset=ds,
+        eval_step=fake_eval_step, with_loss=True,
+    )
+    # weighted: (2*1.0 + 1*4.0) / 3 = 2.0 — NOT the unweighted 2.5
+    assert out["val/fam_cls_loss"] == pytest.approx(2.0)
+    assert out["n_images"] == 3
+
+
+# -------------------------------------------------- backbone remat path
+@pytest.mark.slow
+def test_backbone_remat_grad_step():
+    """nn.remat over the backbone composes with mutable BatchNorm stats in
+    train mode: one grad step must run and produce finite grads equal to the
+    un-rematerialized model's (remat changes memory, not math)."""
+    from s2anet_tpu.models.detector import S2ANet
+
+    img = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(1, 128, 128, 3)), jnp.float32
+    )
+
+    def run(remat: bool):
+        model = S2ANet(backbone_name="resnet18", num_classes=3,
+                       backbone_remat=remat)
+        variables = model.init(jax.random.PRNGKey(0), img, train=False)
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                img, train=True, mutable=["batch_stats"],
+            )
+            return sum(jnp.sum(c.astype(jnp.float32) ** 2)
+                       for c in out["odm_cls"]), mut
+
+        (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"]
+        )
+        return loss, grads, mut["batch_stats"]
+
+    loss_r, grads_r, bs_r = run(remat=True)
+    loss_n, grads_n, bs_n = run(remat=False)
+    assert np.isfinite(float(loss_r))
+    np.testing.assert_allclose(float(loss_r), float(loss_n), rtol=1e-5)
+    flat_r = jax.tree_util.tree_leaves(grads_r)
+    flat_n = jax.tree_util.tree_leaves(grads_n)
+    for a, b in zip(flat_r, flat_n):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    # batch stats advanced under remat too
+    for a, b in zip(jax.tree_util.tree_leaves(bs_r),
+                    jax.tree_util.tree_leaves(bs_n)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+# -------------------------------------------------- multi-host wiring
+def test_loader_shards_partition_exactly(tmp_path, rng):
+    """Sharded BatchLoader = DistributedSampler analogue: equal per-shard
+    lengths (multi-host step counts must match or collectives deadlock),
+    disjoint samples, same permutation for the same epoch."""
+    import cv2
+
+    from s2anet_tpu.data.dota import BatchLoader, DotaDataset
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    for i in range(11):  # deliberately not divisible by 4 shards
+        cv2.imwrite(str(img_dir / f"im{i:02d}.png"),
+                    rng.integers(0, 255, (16, 16, 3)).astype(np.uint8))
+    ds = DotaDataset(img_dir, img_size=16, max_gt=4, cache_labels=False)
+
+    all_paths = []
+    lengths = []
+    for shard in range(4):
+        ld = BatchLoader(ds, 1, shuffle=True, seed=7, shard=shard,
+                         num_shards=4, num_workers=1)
+        ld.set_epoch(3)
+        batches = list(ld)
+        lengths.append(len(batches))
+        assert len(batches) == len(ld)
+        all_paths += [b["paths"][0] for b in batches]
+    assert lengths == [2, 2, 2, 2]          # 11 // 4 each, equalized
+    assert len(set(all_paths)) == len(all_paths)  # disjoint across shards
+
+
+def test_maybe_initialize_distributed_gated(monkeypatch):
+    from s2anet_tpu.parallel.mesh import maybe_initialize_distributed
+
+    monkeypatch.delenv("S2A_MULTIHOST", raising=False)
+    assert maybe_initialize_distributed() is False  # env-gated: no-op
+    monkeypatch.setenv("S2A_MULTIHOST", "0")
+    assert maybe_initialize_distributed() is False
+
+
+def test_trainer_nonmain_process_writes_nothing(tmp_path, monkeypatch):
+    """Non-main processes must not create run dirs, configs or loggers
+    (rank-0-only work, reference train.py:93,199,245)."""
+    import s2anet_tpu.train.trainer as trainer_mod
+    from s2anet_tpu.utils.config import load_config
+
+    monkeypatch.setattr(trainer_mod, "is_main_process", lambda: False)
+    run_dir = tmp_path / "run"
+    cfg = load_config(None, {
+        "model": {"backbone": "resnet18"},
+        "train": {"save_dir": str(run_dir), "batch_size": 2},
+        "data": {"img_size": 64},
+    })
+    tr = trainer_mod.Trainer(cfg)
+    assert tr.is_main is False
+    assert not run_dir.exists()
+    assert isinstance(tr.loggers, trainer_mod._NullLoggers)
+    tr.loggers.log_metrics({"x": 1.0}, 0)  # API-compatible no-op
+    tr.loggers.close()
+
+
+# -------------------------------------------------- host input pipeline
+def _tiny_dataset(tmp_path, rng, n=7, size=32):
+    import cv2
+
+    from s2anet_tpu.data.dota import DotaDataset
+
+    img_dir = tmp_path / "images"
+    lbl_dir = tmp_path / "labels"
+    img_dir.mkdir(exist_ok=True); lbl_dir.mkdir(exist_ok=True)
+    for i in range(n):
+        cv2.imwrite(str(img_dir / f"im{i:02d}.png"),
+                    rng.integers(0, 255, (size, size, 3)).astype(np.uint8))
+        (lbl_dir / f"im{i:02d}.txt").write_text(
+            "0 0.2 0.2 0.6 0.2 0.6 0.4 0.2 0.4\n")
+    return img_dir
+
+
+def test_process_loader_matches_thread_loader(tmp_path, rng):
+    """Process mode must produce bit-identical batches in the same order as
+    the thread mode (rng is keyed on batch index, not worker identity)."""
+    from s2anet_tpu.data.dota import BatchLoader, DotaDataset
+
+    img_dir = _tiny_dataset(tmp_path, rng)
+    ds = DotaDataset(img_dir, img_size=32, max_gt=4, augment=True,
+                     fliplr=0.5, rot90=True, cache_labels=False)
+    kw = dict(batch_size=2, shuffle=True, seed=11, drop_last=True)
+    a = list(BatchLoader(ds, num_workers=1, **kw))
+    b = list(BatchLoader(ds, num_workers=3, mode="process", prefetch=2, **kw))
+    assert len(a) == len(b) == 3
+    for x, y in zip(a, b):
+        assert x["paths"] == y["paths"]
+        assert x["orig_shapes"] == y["orig_shapes"]
+        for k in ("imgs", "gt_boxes", "gt_classes", "gt_mask"):
+            np.testing.assert_array_equal(x[k], y[k])
+
+
+def test_process_loader_worker_error_propagates(tmp_path, rng):
+    from s2anet_tpu.data.dota import BatchLoader, DotaDataset
+
+    img_dir = _tiny_dataset(tmp_path, rng, n=4)
+    ds = DotaDataset(img_dir, img_size=32, max_gt=4, cache_labels=False)
+    (img_dir / "im00.png").unlink()  # decode will fail in the worker
+    ld = BatchLoader(ds, 2, shuffle=False, mode="process", num_workers=2)
+    with pytest.raises(RuntimeError, match="loader worker failed"):
+        list(ld)
+
+
+def test_packed_cache_roundtrip_and_invalidation(tmp_path, rng):
+    import cv2
+
+    from s2anet_tpu.data.packed_cache import PackedImageCache
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    imgs = []
+    for i, (h, w) in enumerate([(16, 24), (32, 8), (20, 20)]):
+        img = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f"p{i}.png"), img)
+        imgs.append(cv2.imread(str(img_dir / f"p{i}.png")))
+    paths = sorted(img_dir.glob("*.png"))
+    pack = PackedImageCache(paths)
+    assert not pack.valid()
+    pack.build()
+    assert pack.valid()
+    for i in range(3):
+        np.testing.assert_array_equal(pack.get(i), imgs[i])
+    # rebuild is a no-op; source change invalidates
+    pack.build()
+    import os
+    import time
+
+    cv2.imwrite(str(paths[1]), np.zeros((8, 8, 3), np.uint8))
+    t = time.time() + 5
+    os.utime(paths[1], (t, t))
+    pack2 = PackedImageCache(paths)
+    assert not pack2.valid()
+    pack2.build()
+    assert pack2.get(1).shape == (8, 8, 3)
+    assert (pack2.get(1) == 0).all()
+
+
+def test_dataset_packed_cache_serves_views(tmp_path, rng):
+    from s2anet_tpu.data.dota import DotaDataset
+
+    img_dir = _tiny_dataset(tmp_path, rng, n=3)
+    ds_plain = DotaDataset(img_dir, img_size=32, max_gt=4, cache_labels=False)
+    ds_pack = DotaDataset(img_dir, img_size=32, max_gt=4, cache_labels=False,
+                          cache_images="packed")
+    for i in range(3):
+        np.testing.assert_array_equal(ds_pack.load_image(i),
+                                      ds_plain.load_image(i))
+    s = ds_pack.get_sample(0, np.random.default_rng(0))
+    assert s["imgs"].shape == (32, 32, 3)
+
+
+# -------------------------------------------------- disk cache staleness
+def test_disk_cache_refreshes_on_source_change(tmp_path):
+    import os
+    import time
+
+    import cv2
+
+    from s2anet_tpu.data.dota import DotaDataset
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    p = img_dir / "im0.png"
+    cv2.imwrite(str(p), np.full((8, 8, 3), 10, np.uint8))
+    ds = DotaDataset(img_dir, img_size=8, cache_images="disk",
+                     cache_labels=False)
+    a = ds.load_image(0)
+    assert (a == 10).all()
+    assert p.with_suffix(".npy").exists()
+
+    # re-chip the image: newer source must invalidate the sidecar
+    cv2.imwrite(str(p), np.full((8, 8, 3), 77, np.uint8))
+    future = time.time() + 5
+    os.utime(p, (future, future))
+    b = ds.load_image(0)
+    assert (b == 77).all()
+    # and the sidecar itself was refreshed for the next epoch
+    assert (np.load(p.with_suffix(".npy")) == 77).all()

@@ -36,16 +36,31 @@ def parse_opt():
                    help="nominal batch size for gradient accumulation "
                         "(0 = off)")
     p.add_argument("--noplots", action="store_true")
-    p.add_argument("--cache", default="", choices=["", "ram", "disk"],
-                   help="image cache mode")
+    p.add_argument("--cache", default="", choices=["", "ram", "disk", "packed"],
+                   help="image cache mode (packed = one pre-decoded mmap shard)")
+    p.add_argument("--workers", type=int, default=0,
+                   help="loader workers (0 = auto)")
+    p.add_argument("--loader", default="thread", choices=["thread", "process"],
+                   help="loader worker kind; process scales with host cores")
+    p.add_argument("--wandb-project", default="",
+                   help="enable W&B logging under this project (empty = off)")
+    p.add_argument("--wandb-entity", default="", help="W&B team/entity")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host training: jax.distributed.initialize() "
+                        "(one process per host; also enabled by "
+                        "S2A_MULTIHOST=1)")
     return p.parse_args()
 
 
 def main(opt):
+    from s2anet_tpu.parallel.mesh import maybe_initialize_distributed
     from s2anet_tpu.train.trainer import Trainer
     from s2anet_tpu.utils.config import load_config
     from s2anet_tpu.utils.jax_cache import enable_persistent_cache
 
+    # must run before any computation: after this, jax.devices() spans the
+    # pod and the mesh/shardings below scale out unchanged
+    maybe_initialize_distributed(opt.multihost or None)
     enable_persistent_cache()
 
     overrides = {
@@ -56,6 +71,8 @@ def main(opt):
             "val_list": opt.val_root,
             "img_size": opt.img_size,
             "cache": opt.cache,
+            "workers": opt.workers,
+            "loader": opt.loader,
         },
         "train": {
             "epochs": opt.epochs,
@@ -69,6 +86,8 @@ def main(opt):
             "pretrained": opt.pretrained,
             "nominal_batch_size": opt.nbs,
             "plots": not opt.noplots,
+            "wandb_project": opt.wandb_project,
+            "wandb_entity": opt.wandb_entity,
         },
     }
     cfg = load_config(opt.config or None, overrides)
