@@ -185,6 +185,52 @@ class DotaDataset:
     def __len__(self):
         return len(self.img_files)
 
+    def shapes(self) -> np.ndarray:
+        """Per-image original (h0, w0), header-read once and disk-cached —
+        powers rect batching (the reference caches shapes in its label
+        .cache, datasets_rotation.py:294-327)."""
+        if getattr(self, "_shapes", None) is not None:
+            return self._shapes
+        cache_path = (self.img_files[0].parent / "shapes.cache.npz"
+                      if self.img_files else None)
+        key = self._shape_key()
+        if cache_path is not None:
+            try:
+                z = np.load(cache_path, allow_pickle=False)
+                if str(z["key"]) == key:
+                    self._shapes = z["shapes"]
+                    return self._shapes
+            except Exception:
+                pass
+        from PIL import Image
+
+        shapes = np.zeros((len(self.img_files), 2), np.int32)
+        for i, p in enumerate(self.img_files):
+            try:
+                with Image.open(p) as im:
+                    shapes[i] = (im.size[1], im.size[0])
+            except Exception:
+                shapes[i] = (self.img_size, self.img_size)
+        self._shapes = shapes
+        if cache_path is not None:
+            try:
+                np.savez(cache_path, key=np.str_(key), shapes=shapes)
+            except Exception:
+                pass
+        return shapes
+
+    def _shape_key(self) -> str:
+        import hashlib
+
+        h = hashlib.sha1()
+        for p in self.img_files:
+            try:
+                st = p.stat()
+                h.update(f"{p}:{st.st_mtime_ns}:{st.st_size}|".encode())
+            except OSError:
+                h.update(f"{p}:missing|".encode())
+        return h.hexdigest()
+
     def load_image(self, i: int) -> np.ndarray:
         """Decode (or fetch cached) image i, BGR uint8.
 
@@ -221,8 +267,9 @@ class DotaDataset:
                 pass
         return img
 
-    def _load_fitted(self, i: int):
-        """Image letterboxed to img_size + pixel-space polygons + classes."""
+    def _load_fitted(self, i: int, target_shape=None):
+        """Image letterboxed to ``target_shape`` (default: square img_size)
+        + pixel-space polygons + classes."""
         img = self.load_image(i)  # BGR uint8
         h0, w0 = img.shape[:2]
         label = self.labels[i]
@@ -230,14 +277,16 @@ class DotaDataset:
         polys = label[:, 1:].copy()
         polys[:, 0::2] *= w0
         polys[:, 1::2] *= h0
-        if (h0, w0) != (self.img_size, self.img_size):
-            img, ratio, pad = A.letterbox(img, self.img_size, self.pad_value)
+        tgt = tuple(target_shape or (self.img_size, self.img_size))
+        if (h0, w0) != tgt:
+            img, ratio, pad = A.letterbox(img, tgt, self.pad_value)
             polys = A.scale_polys(polys, ratio, pad)
         return img, polys, cls, (h0, w0)
 
-    def get_sample(self, i: int, rng: Optional[np.random.Generator] = None) -> Dict:
+    def get_sample(self, i: int, rng: Optional[np.random.Generator] = None,
+                   target_shape=None) -> Dict:
         rng = rng or np.random.default_rng()
-        img, polys, cls, (h0, w0) = self._load_fitted(i)
+        img, polys, cls, (h0, w0) = self._load_fitted(i, target_shape)
 
         if self.augment and rng.uniform() < self.mosaic:
             others = [
@@ -312,6 +361,7 @@ class DotaDataset:
             "gt_mask": gt_mask,
             "path": str(self.img_files[i]),
             "orig_shape": (h0, w0),
+            "img_shape": tuple(img.shape[:2]),
         }
 
 
@@ -344,6 +394,9 @@ class BatchLoader:
         num_workers: Optional[int] = None,   # None = auto per mode
         prefetch: int = 4,
         mode: str = "thread",                # "thread" | "process"
+        rect: bool = False,
+        rect_stride: int = 32,
+        rect_pad: float = 0.5,
     ):
         import os
 
@@ -360,6 +413,16 @@ class BatchLoader:
         self.num_workers = num_workers
         self.prefetch = max(prefetch, 2)
         self.mode = mode
+        # rect batching (reference val.py:219 rect=True, pad=0.5;
+        # datasets_rotation.py:250-420): images ordered by aspect ratio,
+        # each batch letterboxed to its own minimal shape rounded up to
+        # rect_stride — a handful of static shapes, so only a handful of
+        # compiled programs. Eval-only (mutually exclusive with shuffle).
+        self.rect = rect
+        self.rect_stride = rect_stride
+        self.rect_pad = rect_pad
+        if rect:
+            assert not shuffle, "rect batching is shape-ordered (eval only)"
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -382,15 +445,44 @@ class BatchLoader:
         # the collectives mid-epoch)
         return idx[self.shard:: self.num_shards][: len(self.ds) // self.num_shards]
 
+    def _batch_plan(self):
+        """List of (batch_indices, target_shape_or_None)."""
+        idx = self._indices()
+        nb = len(self)
+        if not self.rect:
+            return [
+                (idx[i * self.batch_size:(i + 1) * self.batch_size], None)
+                for i in range(nb)
+            ]
+        # shape-ordered batches with per-batch minimal letterbox shape
+        # (datasets_rotation.py:250-420 semantics, stride = max feature
+        # stride so every level sees whole cells)
+        shapes = self.ds.shapes()[idx].astype(np.float64)  # (h0, w0)
+        ar = shapes[:, 0] / shapes[:, 1]
+        idx = idx[np.argsort(ar, kind="stable")]
+        ar = np.sort(ar, kind="stable")
+        s, st, pad = self.ds.img_size, self.rect_stride, self.rect_pad
+        plan = []
+        for i in range(nb):
+            sl = slice(i * self.batch_size, (i + 1) * self.batch_size)
+            bi = idx[sl]
+            mini, maxi = float(ar[sl].min()), float(ar[sl].max())
+            shape = [1.0, 1.0]
+            if maxi < 1:
+                shape = [maxi, 1.0]
+            elif mini > 1:
+                shape = [1.0, 1.0 / mini]
+            tgt = tuple(
+                int(np.ceil(v * s / st + pad) * st) for v in shape
+            )
+            plan.append((bi, tgt))
+        return plan
+
     def __iter__(self):
         from concurrent.futures import ThreadPoolExecutor
 
-        idx = self._indices()
-        nb = len(self)
-        batches = [
-            idx[i * self.batch_size:(i + 1) * self.batch_size]
-            for i in range(nb)
-        ]
+        batches = self._batch_plan()
+        nb = len(batches)
         rng_seed = self.seed * 100003 + self.epoch
 
         if self.mode == "process" and self.num_workers > 1 and nb:
@@ -402,15 +494,19 @@ class BatchLoader:
             # no fork (non-POSIX): fall through to the thread path
 
         def load(args):
-            bi, batch_idx = args
+            bi, (batch_idx, tshape) = args
             rng = np.random.default_rng(rng_seed + bi)
-            samples = [self.ds.get_sample(int(j), rng) for j in batch_idx]
+            samples = [
+                self.ds.get_sample(int(j), rng, target_shape=tshape)
+                for j in batch_idx
+            ]
             out = {
                 k: np.stack([s[k] for s in samples])
                 for k in ("imgs", "gt_boxes", "gt_classes", "gt_mask")
             }
             out["paths"] = [s["path"] for s in samples]
             out["orig_shapes"] = [s["orig_shape"] for s in samples]
+            out["img_shapes"] = [s["img_shape"] for s in samples]
             return out
 
         if self.num_workers <= 1:
@@ -433,19 +529,32 @@ class BatchLoader:
                 yield batch
 
     # ------------------------------------------------------ process mode
+    def _img_capacity(self) -> int:
+        """Max pixels per image a slot must hold (rect shapes can exceed
+        the square size by up to one stride, reference rect semantics)."""
+        s = self.ds.img_size
+        if not self.rect:
+            return s * s
+        m = int(np.ceil(s / self.rect_stride + self.rect_pad)
+                * self.rect_stride)
+        return m * m
+
     def _slot_layout(self):
-        b, s, g = self.batch_size, self.ds.img_size, self.ds.max_gt
-        sizes = [b * s * s * 3 * 4, b * g * 5 * 4, b * g * 4, b * g]
+        b, g = self.batch_size, self.ds.max_gt
+        cap = self._img_capacity()
+        sizes = [b * cap * 3 * 4, b * g * 5 * 4, b * g * 4, b * g]
         offs = np.cumsum([0] + sizes)
         return offs, int(offs[-1])
 
     def _slot_views(self, buf):
-        """Per-slot shared-memory views: (imgs, gt_boxes, gt_classes, gt_mask)."""
-        b, s, g = self.batch_size, self.ds.img_size, self.ds.max_gt
+        """Per-slot shared-memory views: (imgs_flat, gt_boxes, gt_classes,
+        gt_mask). Images are stored flat; the consumer reshapes to the
+        batch's target shape."""
+        b, g = self.batch_size, self.ds.max_gt
+        cap = self._img_capacity()
         offs, _ = self._slot_layout()
         return (
-            np.frombuffer(buf, np.float32, b * s * s * 3, offs[0]).reshape(
-                b, s, s, 3),
+            np.frombuffer(buf, np.float32, b * cap * 3, offs[0]),
             np.frombuffer(buf, np.float32, b * g * 5, offs[1]).reshape(b, g, 5),
             np.frombuffer(buf, np.int32, b * g, offs[2]).reshape(b, g),
             np.frombuffer(buf, bool, b * g, offs[3]).reshape(b, g),
@@ -478,30 +587,38 @@ class BatchLoader:
         try:
             submitted = 0
             for slot in range(nslots):
-                task_q.put((submitted, slot, batches[submitted]))
+                task_q.put((submitted, slot) + tuple(batches[submitted]))
                 submitted += 1
             expected = 0
             ready = {}
+            s = self.ds.img_size
             while expected < nb:
-                bi, slot, b, paths, orig_shapes, err = res_q.get()
+                bi, slot, b, paths, orig_shapes, img_shapes, err = res_q.get()
                 if err is not None:
                     raise RuntimeError(f"loader worker failed:\n{err}")
-                ready[bi] = (slot, b, paths, orig_shapes)
+                ready[bi] = (slot, b, paths, orig_shapes, img_shapes)
                 while expected in ready:
-                    slot, b, paths, orig_shapes = ready.pop(expected)
-                    views = self._slot_views(shms[slot].buf)
+                    slot, b, paths, orig_shapes, img_shapes = ready.pop(
+                        expected)
+                    imgs_f, boxes_v, cls_v, mask_v = self._slot_views(
+                        shms[slot].buf)
+                    th, tw = img_shapes[0] if img_shapes else (s, s)
                     out = {
-                        k: np.array(v[:b])  # copy out before slot reuse
-                        for k, v in zip(
-                            ("imgs", "gt_boxes", "gt_classes", "gt_mask"),
-                            views,
-                        )
+                        # copy out before slot reuse
+                        "imgs": np.array(
+                            imgs_f[: b * th * tw * 3]
+                        ).reshape(b, th, tw, 3),
+                        "gt_boxes": np.array(boxes_v[:b]),
+                        "gt_classes": np.array(cls_v[:b]),
+                        "gt_mask": np.array(mask_v[:b]),
+                        "paths": paths,
+                        "orig_shapes": orig_shapes,
+                        "img_shapes": img_shapes,
                     }
-                    out["paths"] = paths
-                    out["orig_shapes"] = orig_shapes
-                    del views
+                    del imgs_f, boxes_v, cls_v, mask_v
                     if submitted < nb:
-                        task_q.put((submitted, slot, batches[submitted]))
+                        task_q.put(
+                            (submitted, slot) + tuple(batches[submitted]))
                         submitted += 1
                     expected += 1
                     yield out
@@ -537,21 +654,24 @@ def _batch_worker(loader: "BatchLoader", shm_names, task_q, res_q, rng_seed):
         task = task_q.get()
         if task is None:
             break
-        bi, slot, batch_idx = task
+        bi, slot, batch_idx, tshape = task
         try:
             rng = np.random.default_rng(rng_seed + bi)
-            imgs_v, boxes_v, cls_v, mask_v = views[slot]
-            paths, orig_shapes = [], []
+            imgs_f, boxes_v, cls_v, mask_v = views[slot]
+            paths, orig_shapes, img_shapes = [], [], []
             for k, j in enumerate(batch_idx):
-                s = loader.ds.get_sample(int(j), rng)
-                imgs_v[k] = s["imgs"]
+                s = loader.ds.get_sample(int(j), rng, target_shape=tshape)
+                n = s["imgs"].size
+                imgs_f[k * n:(k + 1) * n] = s["imgs"].ravel()
                 boxes_v[k] = s["gt_boxes"]
                 cls_v[k] = s["gt_classes"]
                 mask_v[k] = s["gt_mask"]
                 paths.append(s["path"])
                 orig_shapes.append(s["orig_shape"])
-            res_q.put((bi, slot, len(batch_idx), paths, orig_shapes, None))
+                img_shapes.append(s["img_shape"])
+            res_q.put((bi, slot, len(batch_idx), paths, orig_shapes,
+                       img_shapes, None))
         except Exception:
-            res_q.put((bi, slot, 0, [], [], traceback.format_exc()))
+            res_q.put((bi, slot, 0, [], [], [], traceback.format_exc()))
     for sh in shms:
         sh.close()

@@ -136,9 +136,14 @@ def evaluate_on_chips(model, state, cfg, mesh=None, dataset=None,
         augment=False,
         class_names=cfg.data.names,
     )
+    rect = bool(getattr(cfg.eval, "rect", False))
+    assert not (rect and with_loss), (
+        "rect eval computes no val losses (loss needs one static imgs_size)"
+    )
     loader = BatchLoader(
         dataset, cfg.eval.batch_size, shuffle=False, drop_last=False,
         num_workers=cfg.data.workers or None, mode=cfg.data.loader,
+        rect=rect, rect_stride=getattr(cfg.eval, "rect_stride", 32),
     )
     dtype = jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
     if eval_step is None:
@@ -198,14 +203,16 @@ def evaluate_on_chips(model, state, cfg, mesh=None, dataset=None,
             chip_name = Path(batch["paths"][k]).stem
             boxes_k = det_boxes[k].copy()
             h0, w0 = batch["orig_shapes"][k]
-            s = dataset.img_size
-            if (h0, w0) != (s, s):
-                # undo the letterbox: detections back to original chip coords
-                # (scale_coords_rotated parity, utils/general.py:629)
+            th, tw = (batch["img_shapes"][k] if "img_shapes" in batch
+                      else (dataset.img_size, dataset.img_size))
+            if (h0, w0) != (th, tw):
+                # undo the (possibly rect) letterbox: detections back to
+                # original chip coords (scale_coords_rotated parity,
+                # utils/general.py:629)
                 from ..data.augment import unletterbox_rboxes
 
-                ratio = min(s / h0, s / w0)
-                pad = ((s - w0 * ratio) / 2, (s - h0 * ratio) / 2)
+                ratio = min(th / h0, tw / w0)
+                pad = ((tw - w0 * ratio) / 2, (th - h0 * ratio) / 2)
                 # no center clipping: scale_coords_rotated leaves
                 # out-of-frame detections as-is (general.py:647-648)
                 boxes_k[:, :5] = unletterbox_rboxes(

@@ -21,9 +21,23 @@ layout this op consumes.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+
+# dx scatter tap-chunking: 0/9 = one fused scatter over all 9 taps (fastest
+# in isolation); 1..8 = that many taps per scatter — each extra scatter pays
+# a read-modify-write pass over the blocks operand but divides the updates
+# transient, which matters when the whole train step sits at the HBM remat
+# cliff (BENCH.md). Overridable for experiments via S2A_DX_CHUNK.
+DX_SCATTER_CHUNK = int(os.environ.get("S2A_DX_CHUNK", "0") or 0)
+
+# forward sampling layout: "tap" = 9 separate gather+matmul passes (small
+# transients); "batched" = ONE gather over all 9 taps + ONE [B*HW, 9C] x
+# [9C, Cout] matmul (fewer dispatches, bigger MXU contraction, but a
+# [B, HW, 9, C]-sized samples transient). Env: S2A_DEFORM_FWD.
+FWD_MODE = os.environ.get("S2A_DEFORM_FWD", "tap")
 
 
 def bilinear_sample_nhwc(feat, py, px):
@@ -195,6 +209,23 @@ def _deform_fwd(x, offsets, weight):
     cout = weight.shape[-1]
     w_taps = weight.reshape(k * k, cin, cout)
 
+    if FWD_MODE == "batched":
+        # all taps in one gather + one big MXU contraction
+        pys, pxs = zip(*(
+            _tap_positions(x.shape, offsets, t, k, x.dtype)
+            for t in range(k * k)
+        ))
+        py = jnp.stack(pys, -1).reshape(b, h * w * k * k)
+        px = jnp.stack(pxs, -1).reshape(b, h * w * k * k)
+        s = bilinear_patch_sample(x, py, px)          # [B, HW*KK, Cin]
+        s = s.reshape(b * h * w, k * k * cin)
+        w_all = w_taps.reshape(k * k * cin, cout)
+        out = jax.lax.dot_general(
+            s, w_all, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(b, h, w, cout)
+        return out.astype(x.dtype), (x, offsets, weight)
+
     acc = jnp.zeros((b, h, w, cout), jnp.promote_types(x.dtype, jnp.float32))
     for t in range(k * k):
         py, px = _tap_positions(x.shape, offsets, t, k, x.dtype)
@@ -293,16 +324,22 @@ def _deform_bwd(res, g, with_offset_grad: bool = True):
             )
             d_off.append(jnp.stack([gy_, gx_], axis=-1))  # [B, HW, 2]
 
-    # one scatter for all taps: updates [B, HW, 9, 4, cin] = outer product of
-    # the corner weights with ds_all, in (b, p, t) row order matching `rows`
-    # (chunking over taps was measured slower: 2 extra operand RMW passes
-    # outweigh any rematerialization relief)
+    # scatter the tap updates: updates [B, HW, T, 4, cin] = outer product of
+    # the corner weights with ds_all, in (b, p, t) row order matching `rows`.
+    # DX_SCATTER_CHUNK splits the taps over several scatters — slower in
+    # isolation (extra operand RMW passes) but each divides the updates
+    # transient by 9/chunk, which can pull the whole step under the HBM
+    # remat cliff.
+    kk = k * k
+    chunk = DX_SCATTER_CHUNK if 0 < DX_SCATTER_CHUNK < kk else kk
     w4 = jnp.stack(w4s, 2)                                # [B, HW, 9, 4]
-    upd = (ds_all[..., None, :].astype(acc_dt)
-           * w4[..., None]).reshape(-1, 4 * cin)          # [B*HW*9, 4C]
-    idx = jnp.stack(rows, -1).reshape(-1)                 # [B*HW*9]
     blocks = jnp.zeros((4 * b * hb * wb, 4 * cin), acc_dt)
-    blocks = blocks.at[idx].add(upd)
+    for t0 in range(0, kk, chunk):
+        sl = slice(t0, min(t0 + chunk, kk))
+        upd = (ds_all[:, :, sl, None, :].astype(acc_dt)
+               * w4[:, :, sl, :, None]).reshape(-1, 4 * cin)
+        idx = jnp.stack(rows[sl], -1).reshape(-1)
+        blocks = blocks.at[idx].add(upd)
     # fold the 4 parity tilings back: copy (py,px) tiles pixels
     # (2*yb + py + r, 2*xb + px + s); realize each as a dense image on a
     # [2hb, 2wb] grid shifted by (py, px) and sum the overlaps

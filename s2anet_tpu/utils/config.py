@@ -138,6 +138,11 @@ class EvalConfig:
     use_07_metric: bool = True        # 11-point VOC AP
     save_results: bool = False        # dump per-class DOTA-format txt files
     task: int = 1                     # 1 = oriented (Task1), 2 = horizontal
+    # rect batching (val.py:219 rect=True pad=0.5): shape-ordered batches
+    # letterboxed to per-batch minimal shapes (rounded to rect_stride) —
+    # cuts padded compute on non-square datasets (HRSC ~30%)
+    rect: bool = False
+    rect_stride: int = 32
 
 
 @dataclass

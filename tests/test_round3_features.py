@@ -344,6 +344,133 @@ def test_dataset_packed_cache_serves_views(tmp_path, rng):
     assert s["imgs"].shape == (32, 32, 3)
 
 
+# -------------------------------------------------- rect-batch eval
+def _rect_dataset(tmp_path, sizes):
+    """Non-square images with one white axis-aligned box at a fixed
+    relative position + matching YOLO labels."""
+    import cv2
+
+    img_dir = tmp_path / "images"
+    lbl_dir = tmp_path / "labels"
+    img_dir.mkdir(); lbl_dir.mkdir()
+    rel = (0.25, 0.25, 0.625, 0.5)  # x0, y0, x1, y1
+    for i, (h, w) in enumerate(sizes):
+        img = np.full((h, w, 3), 20, np.uint8)
+        x0, y0, x1, y1 = (int(rel[0] * w), int(rel[1] * h),
+                          int(rel[2] * w), int(rel[3] * h))
+        img[y0:y1, x0:x1] = 255
+        cv2.imwrite(str(img_dir / f"im{i:02d}.png"), img)
+        fx0, fy0, fx1, fy1 = x0 / w, y0 / h, x1 / w, y1 / h
+        (lbl_dir / f"im{i:02d}.txt").write_text(
+            f"0 {fx0} {fy0} {fx1} {fy0} {fx1} {fy1} {fx0} {fy1}\n")
+    return img_dir
+
+
+def _box_finder_step(state, imgs):
+    """Fake eval step: recover the white box from the letterboxed pixels."""
+    imgs = np.asarray(imgs)
+    b, k = imgs.shape[0], 8
+    boxes = np.zeros((b, k, 6), np.float32)
+    labels = np.zeros((b, k), np.int32)
+    valid = np.zeros((b, k), bool)
+    for n in range(b):
+        ys, xs = np.where(imgs[n].sum(-1) > 1.5)
+        if len(xs):
+            x0, x1, y0, y1 = xs.min(), xs.max(), ys.min(), ys.max()
+            boxes[n, 0] = [(x0 + x1 + 1) / 2, (y0 + y1 + 1) / 2,
+                           x1 - x0 + 1, y1 - y0 + 1, 0.0, 0.9]
+            valid[n, 0] = True
+    return boxes, labels, valid
+
+
+def test_rect_batch_plan_buckets():
+    """Shape-ordered batches, per-batch minimal target shapes rounded to
+    the stride (datasets_rotation.py:250-420 semantics)."""
+    from s2anet_tpu.data.dota import BatchLoader
+
+    class FakeDS:
+        img_size = 1024
+        max_gt = 4
+
+        def __len__(self):
+            return 8
+
+        def shapes(self):
+            # landscape ar 0.5 x4, ar 0.75 x4
+            return np.array([[512, 1024]] * 4 + [[768, 1024]] * 4)
+
+    ld = BatchLoader(FakeDS(), 4, shuffle=False, rect=True, rect_stride=32)
+    plan = ld._batch_plan()
+    assert len(plan) == 2
+    # reference formula (datasets_rotation.py): ceil(shape*s/stride+pad)*stride
+    # ar 0.5: ceil(0.5*32+0.5)*32 = 17*32 = 544; width ceil(32.5)*32 = 1056
+    assert plan[0][1] == (544, 1056)
+    # ar 0.75: ceil(24.5)*32 = 800
+    assert plan[1][1] == (800, 1056)
+    # each batch is homogeneous in aspect-ratio ordering
+    assert all(len(bi) == 4 for bi, _ in plan)
+
+
+def test_rect_eval_matches_square_map(tmp_path):
+    """rect=True must give the same (perfect) mAP as square eval while
+    batching non-square images at reduced shapes."""
+    from s2anet_tpu.data.dota import DotaDataset
+    from s2anet_tpu.eval.runner import evaluate_on_chips
+    from s2anet_tpu.utils.config import load_config
+
+    img_dir = _rect_dataset(
+        tmp_path, [(96, 256), (128, 256), (96, 256), (192, 256), (256, 256)]
+    )
+    results = {}
+    shapes_seen = {}
+    for rect in (False, True):
+        cfg = load_config(None, {
+            "data": {"img_size": 256, "max_gt": 8, "names": ["a"]},
+            "eval": {"batch_size": 2, "rect": rect, "rect_stride": 32},
+        })
+        ds = DotaDataset(img_dir, img_size=256, max_gt=8, augment=False,
+                         cache_labels=False)
+        seen = []
+
+        def step(state, imgs, _seen=seen):
+            _seen.append(tuple(np.asarray(imgs).shape[1:3]))
+            return _box_finder_step(state, imgs)
+
+        out = evaluate_on_chips(model=None, state=None, cfg=cfg, dataset=ds,
+                                eval_step=step)
+        results[rect] = out
+        shapes_seen[rect] = seen
+    assert results[False]["map50"] == pytest.approx(1.0)
+    assert results[True]["map50"] == pytest.approx(1.0)
+    assert set(shapes_seen[False]) == {(256, 256)}
+    # rect mode: smaller shapes for the wide images, >1 bucket
+    assert len(set(shapes_seen[True])) >= 2
+    assert min(h for h, w in shapes_seen[True]) < 256
+    # and it reduces total processed pixels
+    px = lambda ss: sum(h * w for h, w in ss)  # noqa: E731
+    assert px(shapes_seen[True]) < px(shapes_seen[False])
+
+
+def test_rect_loader_process_mode_matches_thread(tmp_path):
+    from s2anet_tpu.data.dota import BatchLoader, DotaDataset
+
+    img_dir = _rect_dataset(
+        tmp_path, [(96, 256), (128, 256), (192, 256), (256, 256)]
+    )
+    ds = DotaDataset(img_dir, img_size=256, max_gt=8, augment=False,
+                     cache_labels=False)
+    kw = dict(batch_size=2, shuffle=False, drop_last=False, rect=True,
+              rect_stride=32)
+    a = list(BatchLoader(ds, num_workers=1, **kw))
+    b = list(BatchLoader(ds, num_workers=2, mode="process", **kw))
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x["img_shapes"] == y["img_shapes"]
+        assert x["imgs"].shape == y["imgs"].shape
+        for k in ("imgs", "gt_boxes", "gt_classes", "gt_mask"):
+            np.testing.assert_array_equal(x[k], y[k])
+
+
 # -------------------------------------------------- disk cache staleness
 def test_disk_cache_refreshes_on_source_change(tmp_path):
     import os

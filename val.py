@@ -32,6 +32,9 @@ def parse_opt():
                    help="1 = oriented boxes (Task1), 2 = horizontal (Task2)")
     p.add_argument("--names", default="",
                    help="class preset: dota | dota-v1.5 | dota-v2.0 | hrsc")
+    p.add_argument("--rect", action="store_true",
+                   help="shape-ordered rect batches (reference val.py:219 "
+                        "rect=True pad=0.5) — faster on non-square datasets")
     return p.parse_args()
 
 
@@ -62,7 +65,8 @@ def main(opt):
                  **({"names": opt.names} if opt.names else {})},
         "eval": {"batch_size": opt.batch_size,
                  "is_map_split": not opt.no_map_split,
-                 "task": opt.task},
+                 "task": opt.task,
+                 "rect": opt.rect},
     }
     cfg = load_config(opt.config or None, overrides)
 
