@@ -29,9 +29,17 @@ import time
 BASELINE_CHIPS_PER_SEC = 25.0
 
 
-def _bench_loader(size: int, batch: int, n_imgs: int = 24) -> float:
-    """Measure host input-pipeline throughput on a synthetic on-disk dataset
-    (PNG decode + letterbox + augment + batch assembly, thread-prefetched)."""
+def _bench_loader(size: int, batch: int, n_imgs: int = 24):
+    """Measure host input-pipeline throughput on a synthetic on-disk dataset.
+
+    Returns (cold_rate, packed_rate) imgs/s:
+      cold   — PNG decode + letterbox + augment + batch assembly;
+      packed — same pipeline served from the pre-decoded mmap shard
+               (``cache_images='packed'``), i.e. the warm-epoch rate.
+    Worker kind: forked processes when the host has >1 core, threads
+    otherwise (both paths produce identical batches).
+    """
+    import os
     import tempfile
     import time as _time
     from pathlib import Path
@@ -60,15 +68,22 @@ def _bench_loader(size: int, batch: int, n_imgs: int = 24) -> float:
                 )
             )
         (root.parent / "labels" / f"im{i:03d}.txt").write_text("\n".join(lines))
-    ds = DotaDataset(root, img_size=size, augment=True, max_gt=64)
-    loader = BatchLoader(ds, batch, shuffle=True, drop_last=True)
-    for _ in loader:  # warm the thread pool + page cache
-        pass
-    t0 = _time.perf_counter()
-    n = 0
-    for b in loader:
-        n += len(b["imgs"])
-    return n / (_time.perf_counter() - t0)
+    mode = "process" if (os.cpu_count() or 1) > 1 else "thread"
+
+    def rate(cache):
+        ds = DotaDataset(root, img_size=size, augment=True, max_gt=64,
+                         cache_images=cache)
+        loader = BatchLoader(ds, batch, shuffle=True, drop_last=True,
+                             mode=mode)
+        for _ in loader:  # warm the pools + page cache
+            pass
+        t0 = _time.perf_counter()
+        n = 0
+        for b in loader:
+            n += len(b["imgs"])
+        return n / (_time.perf_counter() - t0)
+
+    return rate(""), rate("packed")
 
 
 def main():
@@ -175,13 +190,14 @@ def main():
         import os
 
         ncpu = os.cpu_count() or 1
-        loader_rate = _bench_loader(size, batch)
+        cold_rate, packed_rate = _bench_loader(size, batch)
         print(
-            f"host loader: {loader_rate:.1f} imgs/s on {ncpu} host core(s) "
-            f"(~{loader_rate / ncpu:.1f}/core; device rate "
-            f"{chips_per_sec:.1f}/s needs ~"
-            f"{max(1, round(chips_per_sec / max(loader_rate / ncpu, 1e-9)))} "
-            "cores)",
+            f"host loader: cold {cold_rate:.1f} imgs/s, packed-cache "
+            f"{packed_rate:.1f} imgs/s on {ncpu} host core(s) "
+            f"(~{cold_rate / ncpu:.1f}/{packed_rate / ncpu:.1f} per core; "
+            f"device rate {chips_per_sec:.1f}/s needs ~"
+            f"{max(1, round(chips_per_sec / max(packed_rate / ncpu, 1e-9)))} "
+            "cores warm)",
             file=sys.stderr,
         )
     except Exception as e:

@@ -51,4 +51,4 @@ class S2ANet(nn.Module):
             featmap_strides=tuple(self.strides),
             with_orconv=self.with_orconv,
             name="head",
-        )(pyramid)
+        )(pyramid, train=train)

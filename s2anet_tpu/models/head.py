@@ -124,11 +124,15 @@ class S2ANetHead(nn.Module):
                          self.anchor_ratios, self.anchor_angles)
         )
 
-    def __call__(self, feats):
+    def __call__(self, feats, train: bool = False):
         """Run the head on the FPN pyramid.
 
         Args:
           feats: tuple of ``[B, H_l, W_l, C]`` feature maps, one per stride.
+          train: selects the AlignConv sampling layout — "tap" under grad
+            (small transients next to the backward's HBM load), "batched"
+            at inference (one gather + one MXU contraction, ~12% faster at
+            P3). Numerics match to bf16 rounding; the math is identical.
 
         Returns:
           dict with per-level lists:
@@ -157,7 +161,8 @@ class S2ANetHead(nn.Module):
             align = nn.relu(
                 deform_conv2d(x, offsets.astype(x.dtype),
                               self.align_weight.astype(x.dtype),
-                              offset_grad=False)  # offsets are stop-gradient
+                              offset_grad=False,  # offsets are stop-gradient
+                              fwd_mode="tap" if train else "batched")
             )
             if self.with_orconv:
                 w_arf = rotate_arf(self.or_weight, self.n_orientations)

