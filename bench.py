@@ -158,29 +158,28 @@ def main():
     chips_per_sec = chips / dt
 
     # --- MFU diagnostic (stderr): model FLOP rate vs measured matmul peak ---
+    # FLOPs counted analytically from the jaxpr (2 x MACs over every
+    # dot/conv): XLA's cost_analysis undercounts convs ~7x on this backend
+    # (65 vs 445 GFLOP/chip) and produced round-2's misleading "8% MFU".
     try:
-        cost = f_long.lower(variables, imgs).compile().cost_analysis()
-        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        model_flops = float(cost.get("flops", 0.0))
-        per_chip_flops = model_flops / (n_long * batch)
+        from s2anet_tpu.utils.flops import count_fn_flops, measure_matmul_peak
 
-        k = 8192
-        a = jnp.ones((k, k), jnp.bfloat16)
-        mm = jax.jit(lambda a: a @ a)
-        mm(a).block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(4):
-            out = mm(a)
-        out.block_until_ready()
-        peak = 4 * (2 * k**3) / (time.perf_counter() - t0)
+        def one_batch(v, im):
+            out = model.apply(v, im, train=False)
+            return s2anet_get_bboxes(out, **post_kwargs)
+
+        per_chip_flops = count_fn_flops(
+            one_batch, variables, imgs[0]
+        ) / batch
+        peak = measure_matmul_peak()
         mfu = (per_chip_flops * chips_per_sec) / peak
         print(
-            f"model {per_chip_flops / 1e9:.0f} GFLOP/chip, "
+            f"model {per_chip_flops / 1e9:.0f} GFLOP/chip (analytic), "
             f"measured matmul peak {peak / 1e12:.1f} TFLOP/s, "
             f"MFU {100 * mfu:.1f}%",
             file=sys.stderr,
         )
-    except Exception as e:  # cost_analysis is backend-dependent
+    except Exception as e:
         print(f"mfu: skipped ({e})", file=sys.stderr)
 
     # --- host loader throughput (stderr): is the device rate feedable? ---

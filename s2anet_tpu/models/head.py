@@ -129,10 +129,11 @@ class S2ANetHead(nn.Module):
 
         Args:
           feats: tuple of ``[B, H_l, W_l, C]`` feature maps, one per stride.
-          train: selects the AlignConv sampling layout — "tap" under grad
-            (small transients next to the backward's HBM load), "batched"
-            at inference (one gather + one MXU contraction, ~12% faster at
-            P3). Numerics match to bf16 rounding; the math is identical.
+          train: reserved phase flag (AlignConv sampling layout experiments
+            select on it; both phases currently use the "tap" layout — the
+            "batched" single-gather wins isolated, 24.9 vs 28.0 ms at P3,
+            but its 604 MB samples transient loses composed e2e, 107.5 vs
+            110.1 chips/s — see BENCH.md).
 
         Returns:
           dict with per-level lists:
@@ -161,8 +162,7 @@ class S2ANetHead(nn.Module):
             align = nn.relu(
                 deform_conv2d(x, offsets.astype(x.dtype),
                               self.align_weight.astype(x.dtype),
-                              offset_grad=False,  # offsets are stop-gradient
-                              fwd_mode="tap" if train else "batched")
+                              offset_grad=False)  # offsets are stop-gradient
             )
             if self.with_orconv:
                 w_arf = rotate_arf(self.or_weight, self.n_orientations)

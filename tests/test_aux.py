@@ -256,3 +256,56 @@ def test_dataset_verify_drops_corrupt(tmp_path, rng):
     assert len(ds) == 1
     ds2 = DotaDataset(img_dir, img_size=32, verify=False)
     assert len(ds2) == 2
+
+
+# ----------------------------------------------------------------- flops
+def test_flop_counter_closed_forms():
+    """Analytic FLOP counter matches hand-computed conv/matmul/scan counts."""
+    from s2anet_tpu.utils.flops import count_fn_flops
+
+    def conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+
+    x = jnp.zeros((2, 16, 16, 8))
+    w = jnp.zeros((3, 3, 8, 4))
+    assert count_fn_flops(conv, x, w) == 2 * 2 * 16 * 16 * 4 * 9 * 8
+
+    a, b = jnp.zeros((64, 128)), jnp.zeros((128, 32))
+    assert count_fn_flops(lambda a, b: a @ b, a, b) == 2 * 64 * 128 * 32
+
+    def scanned(m):
+        out, _ = jax.lax.scan(lambda c, _: (c @ m, ()), m, (), length=5)
+        return out
+
+    m = jnp.zeros((16, 16))
+    assert count_fn_flops(scanned, m) == 5 * 2 * 16**3
+
+
+def test_flop_counter_dce_drops_dead_branches():
+    """Unused compute (e.g. FAM cls at inference) must not inflate MFU."""
+    from s2anet_tpu.utils.flops import count_fn_flops
+
+    def f(a, b):
+        dead = a @ b  # noqa: F841 — not returned
+        return (a * 2.0).sum()
+
+    a, b = jnp.zeros((32, 32)), jnp.zeros((32, 32))
+    assert count_fn_flops(f, a, b) == 0
+    assert count_fn_flops(f, a, b, dce=False) == 2 * 32**3
+
+
+def test_flop_counter_strided_grouped_conv():
+    from s2anet_tpu.utils.flops import count_fn_flops
+
+    def conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (2, 2), "SAME", feature_group_count=4,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    x = jnp.zeros((1, 8, 8, 16))
+    w = jnp.zeros((3, 3, 4, 8))  # 16 in / 4 groups = 4 per group
+    # out 4x4x8; per output elem: 3*3*4 MACs
+    assert count_fn_flops(conv, x, w) == 2 * 1 * 4 * 4 * 8 * 9 * 4
