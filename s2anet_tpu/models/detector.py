@@ -29,6 +29,8 @@ class S2ANet(nn.Module):
     norm_eval: bool = False
     with_orconv: bool = True
     backbone_remat: bool = False
+    deform_impl: str = "auto"
+    align_offset_clamp: float = 0.0
 
     @nn.compact
     def __call__(self, imgs, train: bool = False):
@@ -50,5 +52,7 @@ class S2ANet(nn.Module):
             num_classes=self.num_classes,
             featmap_strides=tuple(self.strides),
             with_orconv=self.with_orconv,
+            deform_impl=self.deform_impl,
+            align_offset_clamp=self.align_offset_clamp,
             name="head",
         )(pyramid, train=train)

@@ -27,6 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.deform_conv import align_conv_offsets, deform_conv2d
+from ..ops.pallas.deform_kernel import MARGIN as HAT_MARGIN
+from ..ops.pallas.deform_kernel import deform_conv2d_hat
 from ..ops.nms_rotated import multiclass_nms_rotated
 from ..ops.orn import rotate_arf, rotation_invariant_pooling
 from ..ops.rbox import rboxes_decode, rboxes_encode
@@ -72,6 +74,14 @@ class S2ANetHead(nn.Module):
     # computation dtype for all head convs; None = each call computes in the
     # incoming feature dtype (bf16 train/eval path, f32 in parity tests)
     dtype: Optional[Any] = None
+    # AlignConv implementation: "gather" = XLA bilinear patch-gather
+    # (ops/deform_conv.py), "hat" = Pallas hat-matmul kernel with exact
+    # gather fallback via lax.cond (ops/pallas/deform_kernel.py), "auto" =
+    # hat on TPU, gather elsewhere
+    deform_impl: str = "auto"
+    # clamp AlignConv sampling offsets to +-N cells (0 = off); see
+    # ModelConfig.align_offset_clamp for the rationale
+    align_offset_clamp: float = 0.0
 
     def setup(self):
         fc = self.feat_channels
@@ -159,11 +169,32 @@ class S2ANetHead(nn.Module):
             )
 
             offsets = align_conv_offsets(refine, (h, w), float(stride))
-            align = nn.relu(
-                deform_conv2d(x, offsets.astype(x.dtype),
-                              self.align_weight.astype(x.dtype),
-                              offset_grad=False)  # offsets are stop-gradient
-            )
+            if self.align_offset_clamp > 0:
+                c = self.align_offset_clamp
+                offsets = jnp.clip(offsets, -c, c)
+            impl = self.deform_impl
+            if impl == "auto":
+                impl = "hat" if jax.default_backend() == "tpu" else "gather"
+            if impl == "hat":
+                # a clamp of <= margin-2 cells proves every tap window-local,
+                # so the exactness cond AND the gather fallback branch (whose
+                # backward's scatter transients XLA would still reserve HBM
+                # for) can be dropped from the program
+                uncond = 0.0 < self.align_offset_clamp <= HAT_MARGIN - 2
+                align = nn.relu(
+                    deform_conv2d_hat(
+                        x, offsets.astype(x.dtype),
+                        self.align_weight.astype(x.dtype),
+                        interpret=jax.default_backend() == "cpu",
+                        unconditional=uncond,
+                    )  # offsets are stop-gradient (hat VJP returns zeros)
+                )
+            else:
+                align = nn.relu(
+                    deform_conv2d(x, offsets.astype(x.dtype),
+                                  self.align_weight.astype(x.dtype),
+                                  offset_grad=False)  # offsets stop-gradient
+                )
             if self.with_orconv:
                 w_arf = rotate_arf(self.or_weight, self.n_orientations)
                 # OIHW -> HWIO for lax conv

@@ -32,6 +32,9 @@ import jax.numpy as jnp
 # transient, which matters when the whole train step sits at the HBM remat
 # cliff (BENCH.md). Overridable for experiments via S2A_DX_CHUNK.
 DX_SCATTER_CHUNK = int(os.environ.get("S2A_DX_CHUNK", "0") or 0)
+# dx-scatter updates construction: "outer" ([.., 4, C] outer product) or
+# "concat" (4 weighted copies concatenated along the minor axis).
+UPD_LAYOUT = os.environ.get("S2A_DEFORM_UPD", "outer")
 
 # forward sampling layout: "tap" = 9 separate gather+matmul passes (small
 # transients); "batched" = ONE gather over all 9 taps + ONE [B*HW, 9C] x
@@ -337,8 +340,21 @@ def _deform_bwd(mode, res, g, with_offset_grad: bool = True):
     blocks = jnp.zeros((4 * b * hb * wb, 4 * cin), acc_dt)
     for t0 in range(0, kk, chunk):
         sl = slice(t0, min(t0 + chunk, kk))
-        upd = (ds_all[:, :, sl, None, :].astype(acc_dt)
-               * w4[:, :, sl, :, None]).reshape(-1, 4 * cin)
+        if UPD_LAYOUT == "concat":
+            # build the [.., 4*cin] rows by concatenating the 4 weighted
+            # corner copies along the minor axis instead of the outer-product
+            # reshape. Hypothesis was that this matches the scatter's
+            # [rows, 4C] T(8,128) layout and kills a 2.4 GB re-tile copy;
+            # measured WORSE e2e (291 vs 274 ms/step train R50 @1024) — the
+            # concatenate pays its own materialization. Kept as a documented
+            # knob (S2A_DEFORM_UPD=concat); "outer" stays the default.
+            ds_c = ds_all[:, :, sl, :].astype(acc_dt)
+            upd = jnp.concatenate(
+                [ds_c * w4[:, :, sl, i, None] for i in range(4)], axis=-1
+            ).reshape(-1, 4 * cin)
+        else:
+            upd = (ds_all[:, :, sl, None, :].astype(acc_dt)
+                   * w4[:, :, sl, :, None]).reshape(-1, 4 * cin)
         idx = jnp.stack(rows[sl], -1).reshape(-1)
         blocks = blocks.at[idx].add(upd)
     # fold the 4 parity tilings back: copy (py,px) tiles pixels

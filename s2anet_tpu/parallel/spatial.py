@@ -41,6 +41,12 @@ def make_spatial_eval_step(
     shard sees whole stride-128 cells; the helper asserts this at trace time.
     """
     mesh = mesh or make_mesh()
+    if mesh.devices.size > 1 and getattr(model, "deform_impl", None) != "gather":
+        # the hat-matmul AlignConv is a Pallas custom call — GSPMD cannot
+        # spatially partition it and would all-gather the sharded activations
+        # around it, defeating the height sharding. The XLA gather path
+        # partitions cleanly (halo exchanges), so spatial inference pins it.
+        model = model.clone(deform_impl="gather")
     post_kwargs = {}
     if model_cfg is not None:
         post_kwargs = dict(

@@ -34,6 +34,21 @@ def resolve_iou_impl(model_cfg) -> str:
     return impl
 
 
+def _pin_deform_for_mesh(model, mesh):
+    """Downgrade deform_impl "auto" to the gather path on multi-chip meshes.
+
+    The hat-matmul AlignConv is a Pallas custom call, which GSPMD cannot
+    partition — on a >1-device mesh it would all-gather the batch-sharded
+    activations around every AlignConv. The XLA gather path partitions
+    cleanly. An explicit "hat" request is respected (single-host experiments
+    on sharded inputs still compute correctly, just without partitioning).
+    """
+    if (mesh is not None and mesh.devices.size > 1
+            and getattr(model, "deform_impl", None) == "auto"):
+        return model.clone(deform_impl="gather")
+    return model
+
+
 def make_train_step(
     model,
     tx,
@@ -54,6 +69,7 @@ def make_train_step(
     ``gt_classes [B,G]``, ``gt_mask [B,G]``. With a mesh, the batch is
     sharded on axis 0 and the state replicated.
     """
+    model = _pin_deform_for_mesh(model, mesh)
     loss_kwargs = {"iou_impl": resolve_iou_impl(model_cfg)}
     if model_cfg is not None:
         loss_kwargs.update(
@@ -133,6 +149,7 @@ def make_eval_step(
     and returns ``(det_boxes, det_labels, det_valid, loss_items[4])``;
     ``imgs_size`` and ``num_classes`` are required in that mode.
     """
+    model = _pin_deform_for_mesh(model, mesh)
     post_kwargs = {}
     if model_cfg is not None:
         post_kwargs = dict(

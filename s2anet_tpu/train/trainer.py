@@ -88,6 +88,8 @@ class Trainer:
             norm_eval=cfg.model.norm_eval,
             with_orconv=cfg.model.with_orconv,
             backbone_remat=cfg.model.backbone_remat,
+            deform_impl=cfg.model.deform_impl,
+            align_offset_clamp=cfg.model.align_offset_clamp,
         )
         self.mesh = make_mesh_for_batch(
             cfg.train.batch_size, cfg.eval.batch_size

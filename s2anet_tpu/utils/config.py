@@ -36,6 +36,17 @@ class ModelConfig:
     # rematerialize backbone activations in the backward (trades FLOPs for
     # HBM when the step sits at the memory cliff; off = let XLA decide)
     backbone_remat: bool = False
+    # AlignConv implementation: "auto" (Pallas hat-matmul kernel on TPU,
+    # XLA gather elsewhere), "hat", or "gather" — see ops/pallas/deform_kernel.py
+    deform_impl: str = "auto"
+    # clamp AlignConv sampling offsets to +-N feature cells (0 = off, exact
+    # reference semantics). A trained FAM regresses unconstrained deltas at
+    # background positions, whose garbage-sized refined anchors would flip
+    # the hat kernel's exactness cond to the gather fallback level-wide;
+    # clamping bounds the sampling receptive field (semantically inert at
+    # background — no detection is decoded there) and guarantees the fast
+    # path. 6.0 keeps every tap inside the kernel's margin-8 window.
+    align_offset_clamp: float = 0.0
     # inference (head.py:73-76)
     score_thr: float = 0.05
     nms_iou_thr: float = 0.5

@@ -233,3 +233,24 @@ def test_deform_conv_no_offset_grad_matches_dx_dw(rng):
     np.testing.assert_allclose(np.asarray(gw0), np.asarray(gw1), rtol=1e-5)
     assert np.all(np.asarray(go0) == 0)
     assert np.any(np.asarray(go1) != 0)
+
+
+def test_deform_bwd_upd_layouts_match(rng, monkeypatch):
+    """The "concat" dx-updates construction (layout experiment) must produce
+    the same gradients as the outer-product baseline."""
+    import s2anet_tpu.ops.deform_conv as dc
+
+    x = jnp.asarray(rng.normal(size=(2, 9, 11, 8)).astype(np.float32))
+    off = jnp.asarray(rng.normal(size=(2, 9, 11, 9, 2)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 8, 4)).astype(np.float32) * 0.1)
+
+    def loss(x, off, w):
+        return (dc.deform_conv2d(x, off, w) ** 2).sum()
+
+    grads = {}
+    for layout in ("outer", "concat"):
+        monkeypatch.setattr(dc, "UPD_LAYOUT", layout)
+        grads[layout] = jax.grad(loss, argnums=(0, 1, 2))(x, off, w)
+    for a, b in zip(grads["outer"], grads["concat"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

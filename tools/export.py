@@ -58,6 +58,8 @@ def build_inference_fn(cfg, use_ema: bool = True, weights: str = ""):
         num_classes=cfg.model.num_classes,
         strides=tuple(cfg.model.strides),
         with_orconv=cfg.model.with_orconv,
+        deform_impl=cfg.model.deform_impl,
+        align_offset_clamp=cfg.model.align_offset_clamp,
     )
     s = cfg.data.img_size
     variables = model.init(

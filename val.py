@@ -74,6 +74,8 @@ def main(opt):
         backbone_name=cfg.model.backbone,
         num_classes=cfg.model.num_classes,
         strides=tuple(cfg.model.strides),
+        deform_impl=cfg.model.deform_impl,
+        align_offset_clamp=cfg.model.align_offset_clamp,
     )
     s = cfg.data.img_size
     variables = model.init(
