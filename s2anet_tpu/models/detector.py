@@ -12,7 +12,7 @@ evaluation and serving.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 
@@ -31,6 +31,9 @@ class S2ANet(nn.Module):
     backbone_remat: bool = False
     deform_impl: str = "auto"
     align_offset_clamp: float = 0.0
+    # mesh for shard_map'ing the hat AlignConv on >1-device meshes (set by
+    # parallel.step; GSPMD cannot partition a Pallas custom call itself)
+    deform_mesh: Optional[Any] = None
 
     @nn.compact
     def __call__(self, imgs, train: bool = False):
@@ -54,5 +57,6 @@ class S2ANet(nn.Module):
             with_orconv=self.with_orconv,
             deform_impl=self.deform_impl,
             align_offset_clamp=self.align_offset_clamp,
+            deform_mesh=self.deform_mesh,
             name="head",
         )(pyramid, train=train)

@@ -18,7 +18,9 @@ Only ODM outputs feed inference; FAM participates in the loss only
 
 from __future__ import annotations
 
+import functools
 import math
+import os
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
@@ -82,6 +84,11 @@ class S2ANetHead(nn.Module):
     # clamp AlignConv sampling offsets to +-N cells (0 = off); see
     # ModelConfig.align_offset_clamp for the rationale
     align_offset_clamp: float = 0.0
+    # on a >1-device mesh GSPMD cannot partition the hat kernel's Pallas
+    # custom call; when set, the hat AlignConv runs under a jax.shard_map
+    # over the mesh's (leading) axis on the batch dim — AlignConv is
+    # per-image, so the batch split needs no halos or collectives
+    deform_mesh: Optional[Any] = None
 
     def setup(self):
         fc = self.feat_channels
@@ -174,20 +181,36 @@ class S2ANetHead(nn.Module):
                 offsets = jnp.clip(offsets, -c, c)
             impl = self.deform_impl
             if impl == "auto":
-                impl = "hat" if jax.default_backend() == "tpu" else "gather"
+                # experiment override (A/B without config edits), else
+                # hat on TPU, gather elsewhere
+                impl = os.environ.get("S2A_DEFORM_IMPL", "") or (
+                    "hat" if jax.default_backend() == "tpu" else "gather")
             if impl == "hat":
                 # a clamp of <= margin-2 cells proves every tap window-local,
                 # so the exactness cond AND the gather fallback branch (whose
                 # backward's scatter transients XLA would still reserve HBM
                 # for) can be dropped from the program
                 uncond = 0.0 < self.align_offset_clamp <= HAT_MARGIN - 2
+                hat = functools.partial(
+                    deform_conv2d_hat,
+                    interpret=jax.default_backend() == "cpu",
+                    unconditional=uncond,
+                )  # offsets are stop-gradient (hat VJP returns zeros)
+                mesh = self.deform_mesh
+                if mesh is not None and mesh.devices.size > 1:
+                    from jax.sharding import PartitionSpec as P
+
+                    spec = P(mesh.axis_names[0])
+                    # check_vma=False: the per-shard body is collective-free
+                    # and its pallas_call out_shape carries no vma annotation
+                    hat = jax.shard_map(
+                        hat, mesh=mesh,
+                        in_specs=(spec, spec, P()), out_specs=spec,
+                        check_vma=False,
+                    )
                 align = nn.relu(
-                    deform_conv2d_hat(
-                        x, offsets.astype(x.dtype),
-                        self.align_weight.astype(x.dtype),
-                        interpret=jax.default_backend() == "cpu",
-                        unconditional=uncond,
-                    )  # offsets are stop-gradient (hat VJP returns zeros)
+                    hat(x, offsets.astype(x.dtype),
+                        self.align_weight.astype(x.dtype))
                 )
             else:
                 align = nn.relu(

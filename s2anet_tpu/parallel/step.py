@@ -35,17 +35,18 @@ def resolve_iou_impl(model_cfg) -> str:
 
 
 def _pin_deform_for_mesh(model, mesh):
-    """Downgrade deform_impl "auto" to the gather path on multi-chip meshes.
+    """Attach the mesh so the hat AlignConv stays fast on >1-device meshes.
 
     The hat-matmul AlignConv is a Pallas custom call, which GSPMD cannot
     partition — on a >1-device mesh it would all-gather the batch-sharded
-    activations around every AlignConv. The XLA gather path partitions
-    cleanly. An explicit "hat" request is respected (single-host experiments
-    on sharded inputs still compute correctly, just without partitioning).
+    activations around every AlignConv. But AlignConv is per-image, so the
+    head instead runs the kernel under ``jax.shard_map`` over the mesh's
+    batch axis (models/head.py) — per-shard Pallas calls, no halos, no
+    collectives. The gather path needs nothing: XLA partitions it natively.
     """
     if (mesh is not None and mesh.devices.size > 1
-            and getattr(model, "deform_impl", None) == "auto"):
-        return model.clone(deform_impl="gather")
+            and getattr(model, "deform_impl", None) in ("auto", "hat")):
+        return model.clone(deform_mesh=mesh)
     return model
 
 

@@ -167,8 +167,9 @@ def test_head_hat_matches_gather(rng):
 
 
 def test_pin_deform_for_mesh():
-    """deform_impl "auto" downgrades to gather on multi-device meshes (GSPMD
-    cannot partition a Pallas custom call); explicit "hat" is respected."""
+    """On multi-device meshes the step attaches the mesh (the head then runs
+    the hat kernel under shard_map over the batch axis — GSPMD cannot
+    partition a Pallas custom call); the gather path needs nothing."""
     from s2anet_tpu.models.detector import S2ANet
     from s2anet_tpu.parallel.mesh import make_mesh
     from s2anet_tpu.parallel.step import _pin_deform_for_mesh
@@ -176,10 +177,72 @@ def test_pin_deform_for_mesh():
     mesh = make_mesh()  # 8 virtual CPU devices (conftest)
     auto = S2ANet(deform_impl="auto")
     hat = S2ANet(deform_impl="hat")
+    gather = S2ANet(deform_impl="gather")
     if mesh.devices.size > 1:
-        assert _pin_deform_for_mesh(auto, mesh).deform_impl == "gather"
-        assert _pin_deform_for_mesh(hat, mesh).deform_impl == "hat"
-    assert _pin_deform_for_mesh(auto, None).deform_impl == "auto"
+        assert _pin_deform_for_mesh(auto, mesh).deform_mesh is mesh
+        assert _pin_deform_for_mesh(hat, mesh).deform_mesh is mesh
+        assert _pin_deform_for_mesh(gather, mesh).deform_mesh is None
+    assert _pin_deform_for_mesh(auto, None).deform_mesh is None
+
+
+def test_head_hat_shard_map_matches_unsharded(rng):
+    """The hat AlignConv under shard_map over the mesh's batch axis equals
+    the single-device hat head (per-image op — the batch split is free)."""
+    from s2anet_tpu.models.head import S2ANetHead
+    from s2anet_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    if mesh.devices.size < 2:
+        pytest.skip("needs a multi-device mesh")
+    b = mesh.devices.size
+    feats = (jnp.asarray(rng.normal(size=(b, 16, 16, 16)).astype(np.float32)),)
+    kw = dict(num_classes=2, feat_channels=16, stacked_convs=1,
+              featmap_strides=(8,), with_orconv=False, deform_impl="hat")
+    head = S2ANetHead(**kw)
+    var = head.init(jax.random.PRNGKey(0), feats)
+    out_1 = head.apply(var, feats)
+    out_m = S2ANetHead(deform_mesh=mesh, **kw).apply(var, feats)
+    for key in ("odm_cls", "odm_bbox"):
+        for a, b_ in zip(out_1[key], out_m[key]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-3, atol=2e-3)
+
+
+def test_train_step_hat_shard_map(rng):
+    """A full data-parallel train step with the hat AlignConv (shard_map
+    path) runs on the 8-device mesh and produces finite grads/loss."""
+    from s2anet_tpu.models.detector import S2ANet
+    from s2anet_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+    from s2anet_tpu.parallel.step import make_train_step
+    from s2anet_tpu.train.optim import build_optimizer
+    from s2anet_tpu.train.schedule import build_lr_schedule
+    from s2anet_tpu.train.state import create_train_state
+
+    mesh = make_mesh()
+    if mesh.devices.size < 2:
+        pytest.skip("needs a multi-device mesh")
+    img, batch = 64, mesh.devices.size
+    model = S2ANet(backbone_name="resnet18", num_classes=2,
+                   deform_impl="hat")
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3), jnp.float32),
+        train=False)
+    lr_fn = build_lr_schedule(0.005, 100, 10)
+    tx = build_optimizer(lr_fn, params_example=variables["params"])
+    state = replicate_state(mesh, create_train_state(
+        variables["params"], variables.get("batch_stats", {}), tx))
+    step_fn = make_train_step(model, tx, imgs_size=(img, img), num_classes=2,
+                              compute_dtype=jnp.float32, mesh=mesh)
+    npr = np.random.default_rng(0)
+    batch_data = shard_batch(mesh, {
+        "imgs": npr.uniform(size=(batch, img, img, 3)).astype(np.float32),
+        "gt_boxes": np.tile(np.array([[30, 30, 20, 8, 0.4]], np.float32),
+                            (batch, 2, 1)),
+        "gt_classes": np.zeros((batch, 2), np.int32),
+        "gt_mask": np.ones((batch, 2), bool),
+    })
+    state, items = step_fn(state, batch_data)
+    assert np.isfinite(np.asarray(items)).all()
 
 
 def test_align_offset_clamp_guarantees_fast_path(rng):
