@@ -30,7 +30,7 @@ import numpy as np
 
 from ..ops.deform_conv import align_conv_offsets, deform_conv2d
 from ..ops.pallas.deform_kernel import MARGIN as HAT_MARGIN
-from ..ops.pallas.deform_kernel import deform_conv2d_hat
+from ..ops.pallas.deform_kernel import deform_conv2d_hat, hat_kernel_supported
 from ..ops.nms_rotated import multiclass_nms_rotated
 from ..ops.orn import rotate_arf, rotation_invariant_pooling
 from ..ops.rbox import rboxes_decode, rboxes_encode
@@ -181,10 +181,13 @@ class S2ANetHead(nn.Module):
                 offsets = jnp.clip(offsets, -c, c)
             impl = self.deform_impl
             if impl == "auto":
-                # experiment override (A/B without config edits), else
-                # hat on TPU, gather elsewhere
+                # experiment override (A/B without config edits), else hat
+                # on TPU — but only after a cached trial compile proves the
+                # Pallas kernel is accepted by this environment's compiler
+                # (remote TPU compile services have rejected valid Mosaic
+                # programs before; see BENCH.md) — gather elsewhere
                 impl = os.environ.get("S2A_DEFORM_IMPL", "") or (
-                    "hat" if jax.default_backend() == "tpu" else "gather")
+                    "hat" if hat_kernel_supported() else "gather")
             if impl == "hat":
                 # a clamp of <= margin-2 cells proves every tap window-local,
                 # so the exactness cond AND the gather fallback branch (whose
@@ -427,7 +430,16 @@ def s2anet_get_bboxes(
         scores = jax.nn.sigmoid(cls.astype(jnp.float32))
         if 0 < max_before_nms_per_level < n:
             top = scores.max(axis=-1)  # [B, n]
-            _, idx = jax.lax.top_k(top, max_before_nms_per_level)
+            # TPU top_k is sort-based; approx_max_k (TPU-only two-pass
+            # bucketed reduce) trades exactness of the *prefilter* (recall
+            # ~0.95 per level, only among sub-threshold stragglers once the
+            # cap is generous) for VPU time. Experiment knob, off by default
+            # — the reference prefilter is exact (head.py:664).
+            if (os.environ.get("S2A_APPROX_TOPK", "")
+                    and jax.default_backend() == "tpu"):
+                _, idx = jax.lax.approx_max_k(top, max_before_nms_per_level)
+            else:
+                _, idx = jax.lax.top_k(top, max_before_nms_per_level)
             scores = jnp.take_along_axis(scores, idx[..., None], axis=1)
             bbox = jnp.take_along_axis(bbox, idx[..., None], axis=1)
             anc = jnp.take_along_axis(anc, idx[..., None], axis=1)

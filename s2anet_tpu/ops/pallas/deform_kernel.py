@@ -476,3 +476,43 @@ def deform_conv2d_hat(x, offsets, weight, bias=None, kernel_size: int = 3,
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def _hat_trial(backend: str) -> bool:
+    """Trial-compile a tiny hat fwd+bwd program on the current backend.
+
+    The hat kernels use only iota/select/matmul Mosaic features, but this
+    environment's *remote* TPU compile service has rejected other valid
+    Mosaic programs (BENCH.md scatter/gather cost model) — so "auto" mode
+    proves the kernel compiles before committing the whole detector program
+    to it. One tiny compile per process, cached.
+    """
+    try:
+        x = jnp.zeros((1, 16, 32, 8), jnp.bfloat16)
+        off = jnp.zeros((1, 16, 32, 18), jnp.bfloat16)
+        wgt = jnp.zeros((3, 3, 8, 8), jnp.bfloat16)
+
+        def f(xx, ww):
+            out = deform_conv2d_hat(xx, off, ww, unconditional=True)
+            return out.astype(jnp.float32).sum()
+
+        jax.jit(jax.grad(f, argnums=(0, 1))).lower(x, wgt).compile()
+        return True
+    except Exception as e:  # compiler rejection, missing lowering, ...
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "hat deform kernel failed its trial compile on %s (%s); "
+            "deform_impl='auto' falls back to the XLA gather path",
+            backend, type(e).__name__,
+        )
+        return False
+
+
+def hat_kernel_supported() -> bool:
+    """True iff the Pallas hat kernel compiles on the default backend."""
+    backend = jax.default_backend()
+    if backend != "tpu":
+        return False  # non-TPU runs Pallas only in interpret mode (explicit)
+    return _hat_trial(backend)

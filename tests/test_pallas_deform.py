@@ -319,3 +319,45 @@ def test_head_clamp_selects_unconditional(rng):
         for a, b in zip(out_g[key], out_h[key]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-3, atol=2e-3)
+
+
+def test_auto_impl_guarded_by_trial_compile(rng, monkeypatch):
+    """deform_impl='auto' commits to the hat kernel only after the cached
+    trial compile proves the backend accepts it; on CPU (no TPU Mosaic
+    backend) it must resolve to the gather path and still run."""
+    from s2anet_tpu.models.head import S2ANetHead
+    from s2anet_tpu.ops.pallas import deform_kernel as dk
+
+    monkeypatch.delenv("S2A_DEFORM_IMPL", raising=False)
+    assert dk.hat_kernel_supported() is False  # cpu backend in tests
+
+    feats = (jnp.asarray(rng.normal(size=(1, 16, 16, 16)).astype(np.float32)),)
+    kw = dict(num_classes=2, feat_channels=16, stacked_convs=1,
+              featmap_strides=(8,), with_orconv=False)
+    head = S2ANetHead(deform_impl="auto", **kw)
+    var = head.init(jax.random.PRNGKey(0), feats)
+    out_a = head.apply(var, feats)
+    out_g = S2ANetHead(deform_impl="gather", **kw).apply(var, feats)
+    for key in ("odm_cls", "odm_bbox"):
+        for a, b in zip(out_a[key], out_g[key]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_hat_trial_compile_is_cached(monkeypatch):
+    """The per-backend trial runs once; subsequent calls hit the cache."""
+    from s2anet_tpu.ops.pallas import deform_kernel as dk
+
+    dk._hat_trial.cache_clear()
+    calls = []
+    real = dk.deform_conv2d_hat
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(dk, "deform_conv2d_hat", counting)
+    r1 = dk._hat_trial("faketpu")
+    n1 = len(calls)
+    r2 = dk._hat_trial("faketpu")
+    assert r1 == r2 and len(calls) == n1  # cached, no second trial
+    dk._hat_trial.cache_clear()
