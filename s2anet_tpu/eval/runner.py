@@ -159,36 +159,23 @@ def evaluate_on_chips(model, state, cfg, mesh=None, dataset=None,
     chip_dims: Dict[str, tuple] = {}
     mean_loss = np.zeros(4)
     n_loss = 0
-    t_infer = 0.0
     n_imgs = 0
-    for batch in loader:
-        imgs = batch["imgs"]
-        b = imgs.shape[0]
-        if b < cfg.eval.batch_size:  # pad to static batch
-            pad = cfg.eval.batch_size - b
-            for key in ("imgs", "gt_boxes", "gt_classes", "gt_mask"):
-                arr = batch[key]
-                batch[key] = np.concatenate(
-                    [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)], 0
-                )
-            imgs = batch["imgs"]
-        step_in = (
-            {k: batch[k] for k in
-             ("imgs", "gt_boxes", "gt_classes", "gt_mask")}
-            if with_loss else imgs
-        )
-        if mesh is not None:
-            from ..parallel.mesh import shard_batch
 
-            step_in = shard_batch(mesh, step_in)
-        t0 = time.perf_counter()
-        out = eval_step(state, step_in)
+    def _consume(out, b, batch):
+        """Fetch one dispatched batch's results and postprocess on the host.
+
+        Called one iteration LATE (software pipeline): while the device runs
+        batch i, the host fetches + postprocesses batch i-1 and the loader
+        decodes batch i+1 — jax dispatch is async, so deferring the
+        device_get by one step is all the overlap takes.
+        """
+        nonlocal n_loss, n_imgs
         if with_loss:
             det_boxes, det_labels, det_valid, loss_items = out
             # weight by the REAL image count b: the final partial batch is
             # zero-padded to the static batch size and its padded images
             # (no gt) would otherwise dilute val/*_loss with full weight
-            mean_loss += (
+            mean_loss[:] += (
                 np.asarray(jax.device_get(loss_items)) - mean_loss
             ) * (b / (n_loss + b))
             n_loss += b
@@ -197,7 +184,6 @@ def evaluate_on_chips(model, state, cfg, mesh=None, dataset=None,
         det_boxes = np.asarray(jax.device_get(det_boxes))[:b]
         det_labels = np.asarray(jax.device_get(det_labels))[:b]
         det_valid = np.asarray(jax.device_get(det_valid))[:b]
-        t_infer += time.perf_counter() - t0
         n_imgs += b
         for k in range(b):
             chip_name = Path(batch["paths"][k]).stem
@@ -225,6 +211,36 @@ def evaluate_on_chips(model, state, cfg, mesh=None, dataset=None,
                 dets.append((int(cid), float(sc), poly))
             chip_dets[chip_name] = dets
             chip_dims[chip_name] = (h0, w0)
+
+    t_wall0 = time.perf_counter()
+    pending = None  # one-batch-deep pipeline: (dispatched out, b, batch)
+    for batch in loader:
+        imgs = batch["imgs"]
+        b = imgs.shape[0]
+        if b < cfg.eval.batch_size:  # pad to static batch
+            pad = cfg.eval.batch_size - b
+            for key in ("imgs", "gt_boxes", "gt_classes", "gt_mask"):
+                arr = batch[key]
+                batch[key] = np.concatenate(
+                    [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)], 0
+                )
+            imgs = batch["imgs"]
+        step_in = (
+            {k: batch[k] for k in
+             ("imgs", "gt_boxes", "gt_classes", "gt_mask")}
+            if with_loss else imgs
+        )
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            step_in = shard_batch(mesh, step_in)
+        out = eval_step(state, step_in)  # async dispatch
+        if pending is not None:
+            _consume(*pending)  # previous batch, while the device runs
+        pending = (out, b, batch)
+    if pending is not None:
+        _consume(*pending)
+    t_infer = time.perf_counter() - t_wall0
 
     if cfg.eval.is_map_split:
         # evaluate directly on chips against the dataset's own labels
@@ -259,6 +275,10 @@ def evaluate_on_chips(model, state, cfg, mesh=None, dataset=None,
         ovthresh=cfg.eval.iou_thres, use_07_metric=cfg.eval.use_07_metric,
         task=getattr(cfg.eval, "task", 1),
     )
+    # end-to-end wall rate over the pipelined loop (host decode, device
+    # compute and result postprocess overlapped; includes first compile) —
+    # the production serving figure, not the device-only rate (bench.py
+    # measures that one, scan-differenced)
     out["images_per_sec"] = n_imgs / max(t_infer, 1e-9)
     out["n_images"] = n_imgs
     if with_loss and n_loss:
