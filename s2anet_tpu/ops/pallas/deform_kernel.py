@@ -489,9 +489,12 @@ def _hat_trial(backend: str) -> bool:
     to it. One tiny compile per process, cached.
     """
     try:
-        x = jnp.zeros((1, 16, 32, 8), jnp.bfloat16)
-        off = jnp.zeros((1, 16, 32, 18), jnp.bfloat16)
-        wgt = jnp.zeros((3, 3, 8, 8), jnp.bfloat16)
+        # ONE production-geometry tile (TILE_H x TILE_W window, C=256 as at
+        # P3): tiny channel counts would compile where the real kernel's
+        # VMEM/register footprint fails, certifying nothing
+        x = jnp.zeros((1, TILE_H, TILE_W, 256), jnp.bfloat16)
+        off = jnp.zeros((1, TILE_H, TILE_W, 18), jnp.bfloat16)
+        wgt = jnp.zeros((3, 3, 256, 256), jnp.bfloat16)
 
         def f(xx, ww):
             out = deform_conv2d_hat(xx, off, ww, unconditional=True)
