@@ -25,8 +25,14 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: whole-detector CPU compiles take minutes;
-# cache them across test runs.
-_cache_dir = os.environ.get("JAX_TEST_CACHE", "/tmp/jax_test_cache")
+# cache them across test runs. Keyed per host — XLA:CPU AOT executables bake
+# in the compile host's machine features but the cache key does not, so a
+# cache carried across a host change aborts at load (see utils/jax_cache.py).
+from s2anet_tpu.utils.jax_cache import host_fingerprint  # noqa: E402
+
+_cache_dir = os.path.join(
+    os.environ.get("JAX_TEST_CACHE", "/tmp/jax_test_cache"), host_fingerprint()
+)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
