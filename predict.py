@@ -22,7 +22,8 @@ Outputs per image: ``<save_dir>/<name>.txt`` with one
 ``class_name score x1 y1 x2 y2 x3 y3 x4 y4`` line per detection (DOTA
 submission geometry), plus ``<name>.jpg`` with drawn boxes when
 ``--save-img``. Also writes per-class ``Task1_<class>.txt`` files across
-the whole run (`--task2` writes axis-aligned Task2 geometry instead).
+the whole run (DOTA submission format; for axis-aligned Task2 evaluation
+use ``val.py --task 2``).
 """
 
 from __future__ import annotations
@@ -148,7 +149,19 @@ def _predict_spatial(model, state, cfg, img_bgr, opt, cache):
     from s2anet_tpu.parallel.mesh import make_mesh
     from s2anet_tpu.parallel.spatial import make_spatial_eval_step, shard_image
 
-    mesh = cache.setdefault("mesh", make_mesh())
+    if "mesh" not in cache:  # built once, reused across the image loop
+        cache["mesh"] = make_mesh()
+        cache["step"], _ = make_spatial_eval_step(
+            model, mesh=cache["mesh"], model_cfg=cfg.model,
+        )
+        cache["vars"] = {
+            "params": jax.device_get(
+                state.ema_params if not opt.no_ema else state.params),
+            "batch_stats": jax.device_get(
+                state.ema_batch_stats if not opt.no_ema
+                else state.batch_stats),
+        }
+    mesh = cache["mesh"]
     n = mesh.devices.size
     h0, w0 = img_bgr.shape[:2]
     unit = 128 * n
@@ -157,18 +170,9 @@ def _predict_spatial(model, state, cfg, img_bgr, opt, cache):
     rgb = np.zeros((1, hp, wp, 3), np.float32)
     rgb[0, :h0, :w0] = img_bgr[:, :, ::-1].astype(np.float32) / 255.0
 
-    key = (hp, wp)
-    if key not in cache:  # one compiled program per padded shape
-        step, _ = make_spatial_eval_step(
-            model, mesh=mesh, model_cfg=cfg.model,
-        )
-        cache[key] = step
-    det_boxes, det_labels, det_valid = cache[key](
-        {"params": jax.device_get(
-            state.ema_params if not opt.no_ema else state.params),
-         "batch_stats": jax.device_get(
-             state.ema_batch_stats if not opt.no_ema else state.batch_stats)},
-        shard_image(mesh, rgb),
+    # ONE jitted step; jax caches a compiled program per padded (hp, wp)
+    det_boxes, det_labels, det_valid = cache["step"](
+        cache["vars"], shard_image(mesh, rgb),
     )
     det_boxes = np.asarray(det_boxes)[0]
     det_valid = np.asarray(det_valid)[0]
@@ -228,11 +232,13 @@ def main(opt):
     spatial_cache: dict = {}
 
     all_dets = []  # (image_name, class_id, score, poly)
+    n_processed = 0
     for path in _list_images(opt.source):
         img = cv2.imread(str(path))
         if img is None:
             print(f"skipping unreadable image {path}")
             continue
+        n_processed += 1
         name = path.stem
         if opt.mode == "chips":
             dets = _predict_chips(model, state, cfg, img, name, opt, eval_step)
@@ -266,7 +272,7 @@ def main(opt):
         by_class.setdefault(cid, []).append((img_name, score, poly))
     save_dota_results(by_class, names, save_dir / "dota_submission")
     print(json.dumps({
-        "images": len(_list_images(opt.source)),
+        "images": n_processed,
         "detections": len(all_dets),
         "save_dir": str(save_dir),
     }))

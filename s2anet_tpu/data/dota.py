@@ -220,16 +220,11 @@ class DotaDataset:
         return shapes
 
     def _shape_key(self) -> str:
-        import hashlib
+        # one fingerprint rule for every image-derived cache (shapes +
+        # packed store): see packed_cache._content_key
+        from .packed_cache import _content_key
 
-        h = hashlib.sha1()
-        for p in self.img_files:
-            try:
-                st = p.stat()
-                h.update(f"{p}:{st.st_mtime_ns}:{st.st_size}|".encode())
-            except OSError:
-                h.update(f"{p}:missing|".encode())
-        return h.hexdigest()
+        return _content_key(self.img_files)
 
     def load_image(self, i: int) -> np.ndarray:
         """Decode (or fetch cached) image i, BGR uint8.

@@ -218,12 +218,19 @@ def evaluate_on_chips(model, state, cfg, mesh=None, dataset=None,
         imgs = batch["imgs"]
         b = imgs.shape[0]
         if b < cfg.eval.batch_size:  # pad to static batch
+            # pad by WRAPPING the real images, not with zeros: blank padded
+            # images would contribute background focal loss over all their
+            # anchors (and the static batch size to the positives normalizer)
+            # to the with_loss items — the b-weighted running mean cannot
+            # undo contamination inside a batch's own mean. Replicated real
+            # images keep the items a mean over real data (the duplicates
+            # mildly re-weight within this one partial batch); detections
+            # are sliced back to [:b] either way.
             pad = cfg.eval.batch_size - b
+            sel = np.arange(pad) % b
             for key in ("imgs", "gt_boxes", "gt_classes", "gt_mask"):
                 arr = batch[key]
-                batch[key] = np.concatenate(
-                    [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)], 0
-                )
+                batch[key] = np.concatenate([arr, arr[sel]], 0)
             imgs = batch["imgs"]
         step_in = (
             {k: batch[k] for k in

@@ -435,7 +435,7 @@ def s2anet_get_bboxes(
             # ~0.95 per level, only among sub-threshold stragglers once the
             # cap is generous) for VPU time. Experiment knob, off by default
             # — the reference prefilter is exact (head.py:664).
-            if (os.environ.get("S2A_APPROX_TOPK", "")
+            if (os.environ.get("S2A_APPROX_TOPK", "") not in ("", "0")
                     and jax.default_backend() == "tpu"):
                 _, idx = jax.lax.approx_max_k(top, max_before_nms_per_level)
             else:

@@ -129,19 +129,24 @@ def _window_ok(py, px, h, w, th, tw, ty, tx, my, mx):
     return ok
 
 
-def _prep(x, offsets, k, margin, stack_windows=True):
-    """Window stack + window-local float sample coords + exactness predicate.
+def _prep(x, offsets, k, margin, stack_windows=True, compute_ok=False):
+    """Window stack + window-local float sample coords (+ optional predicate).
 
-    Returns (windows [BT, WH*WW, C], lpy, lpx [BT, KK, P], ok scalar bool);
-    with ``stack_windows=False`` the first element is instead the padded
-    feature map [B, TY*TH+2my, TX*TW+2mx, C] for in-kernel DMA windowing.
+    Returns (windows [BT, WH*WW, C], lpy, lpx [BT, KK, P], ok scalar bool or
+    None); with ``stack_windows=False`` the first element is instead the
+    padded feature map [B, TY*TH+2my, TX*TW+2mx, C] for in-kernel DMA
+    windowing. The kernel callers pass ``compute_ok=False``: the exactness
+    predicate is evaluated once OUTSIDE the ``lax.cond`` by
+    :func:`deform_conv2d_hat`; recomputing it inside the taken branch would
+    only be dead work for XLA to eliminate.
     """
     b, h, w, c = x.shape
     th, tw, ty, tx, my, mx, wh, ww = _geometry(h, w, margin)
     kk = k * k
 
     py, px = _tap_coords(offsets, h, w, k, x.dtype)
-    ok = _window_ok(py, px, h, w, th, tw, ty, tx, my, mx)
+    ok = (_window_ok(py, px, h, w, th, tw, ty, tx, my, mx)
+          if compute_ok else None)
 
     # window-local coordinates: lp = p - (tile_origin - margin). Padded
     # (beyond-image) positions are filled so that after base subtraction

@@ -250,6 +250,10 @@ def test_deform_bwd_upd_layouts_match(rng, monkeypatch):
     grads = {}
     for layout in ("outer", "concat"):
         monkeypatch.setattr(dc, "UPD_LAYOUT", layout)
+        # deform_conv2d is jit'd and UPD_LAYOUT is read at TRACE time: with
+        # identical avals the second call would silently reuse the first
+        # layout's cached jaxpr and compare "outer" against itself
+        jax.clear_caches()
         grads[layout] = jax.grad(loss, argnums=(0, 1, 2))(x, off, w)
     for a, b in zip(grads["outer"], grads["concat"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
