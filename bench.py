@@ -121,6 +121,16 @@ def main():
     ).astype(jnp.bfloat16)
     print(f"init (batch={batch}, {size}x{size}, "
           f"{jax.devices()[0].platform})...", file=sys.stderr)
+    # record which deformable-conv path this bench actually measures: the
+    # default config is deform_impl="auto" = Pallas hat kernel iff its
+    # trial compile passes on this backend, else the XLA gather path
+    import os as _os
+
+    from s2anet_tpu.ops.pallas.deform_kernel import hat_kernel_supported
+
+    _impl = _os.environ.get("S2A_DEFORM_IMPL", "") or (
+        "hat" if hat_kernel_supported() else "gather")
+    print(f"deform impl: {_impl}", file=sys.stderr)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, size, size, 3), jnp.bfloat16),
                            train=False)
