@@ -430,13 +430,13 @@ def s2anet_get_bboxes(
         scores = jax.nn.sigmoid(cls.astype(jnp.float32))
         if 0 < max_before_nms_per_level < n:
             top = scores.max(axis=-1)  # [B, n]
-            # TPU top_k is sort-based; approx_max_k (TPU-only two-pass
-            # bucketed reduce) trades exactness of the *prefilter* (recall
-            # ~0.95 per level, only among sub-threshold stragglers once the
-            # cap is generous) for VPU time. Experiment knob, off by default
-            # — the reference prefilter is exact (head.py:664).
-            if (os.environ.get("S2A_APPROX_TOPK", "") not in ("", "0")
-                    and jax.default_backend() == "tpu"):
+            # TPU top_k is sort-based; approx_max_k (two-pass bucketed
+            # reduce on TPU, exact fallback elsewhere) trades exactness of
+            # the *prefilter* (recall ~0.95 per level, only among
+            # sub-threshold stragglers once the cap is generous) for VPU
+            # time. Experiment knob, off by default — the reference
+            # prefilter is exact (head.py:664).
+            if os.environ.get("S2A_APPROX_TOPK", "") not in ("", "0"):
                 _, idx = jax.lax.approx_max_k(top, max_before_nms_per_level)
             else:
                 _, idx = jax.lax.top_k(top, max_before_nms_per_level)

@@ -501,3 +501,35 @@ def test_disk_cache_refreshes_on_source_change(tmp_path):
     assert (b == 77).all()
     # and the sidecar itself was refreshed for the next epoch
     assert (np.load(p.with_suffix(".npy")) == 77).all()
+
+
+# -------------------------------------------------- approx top-k prefilter
+
+def test_approx_topk_knob_decodes(monkeypatch, rng):
+    """S2A_APPROX_TOPK routes the decode prefilter through approx_max_k
+    (exact fallback off-TPU, so CPU results must match the exact path);
+    '0'/'' leave the exact lax.top_k path."""
+    import jax
+    import jax.numpy as jnp
+
+    from s2anet_tpu.models.anchors import grid_anchors
+    from s2anet_tpu.models.head import s2anet_get_bboxes
+
+    h = w = 16
+    n = h * w
+    anchors = jnp.asarray(grid_anchors((h, w), 8))
+    outputs = {
+        "odm_cls": [jnp.asarray(rng.normal(size=(2, n, 3)) * 2,
+                                jnp.float32)],
+        "odm_bbox": [jnp.asarray(rng.normal(size=(2, n, 5)) * 0.1,
+                                 jnp.float32)],
+        "refine_anchors": [jnp.broadcast_to(anchors[None], (2, n, 5))],
+    }
+    kw = dict(max_before_nms_per_level=64, max_per_img=32, pre_nms_cap=128)
+
+    monkeypatch.setenv("S2A_APPROX_TOPK", "0")
+    exact = s2anet_get_bboxes(outputs, **kw)
+    monkeypatch.setenv("S2A_APPROX_TOPK", "1")
+    approx = s2anet_get_bboxes(outputs, **kw)
+    for a, b in zip(exact, approx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
