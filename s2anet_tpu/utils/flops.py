@@ -76,6 +76,14 @@ def count_jaxpr_flops(jaxpr) -> int:
                 (count_jaxpr_flops(b) for b in eqn.params["branches"]),
                 default=0,
             )
+        elif name == "pallas_call":
+            # the kernel body executes once per grid step — the generic
+            # fallback would count it once and undercount by the grid size
+            # (e.g. 256x for the hat deform kernel at P3)
+            grid = getattr(eqn.params.get("grid_mapping"), "grid", ()) or ()
+            total += _prod(int(g) for g in grid) * count_jaxpr_flops(
+                eqn.params["jaxpr"]
+            )
         else:
             for key in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
                 sub = eqn.params.get(key) if eqn.params else None

@@ -309,3 +309,32 @@ def test_flop_counter_strided_grouped_conv():
     w = jnp.zeros((3, 3, 4, 8))  # 16 in / 4 groups = 4 per group
     # out 4x4x8; per output elem: 3*3*4 MACs
     assert count_fn_flops(conv, x, w) == 2 * 1 * 4 * 4 * 8 * 9 * 4
+
+
+def test_count_flops_pallas_grid_multiplied():
+    """pallas_call kernel FLOPs are multiplied by the grid size (the kernel
+    body runs once per grid step); exact closed form for the hat fwd."""
+    import jax.numpy as jnp
+
+    from s2anet_tpu.ops.pallas.deform_kernel import (
+        _geometry, deform_conv2d_hat,
+    )
+    from s2anet_tpu.utils.flops import count_fn_flops
+
+    b, h, w, c, cout, k = 2, 24, 40, 8, 8, 3
+    x = jnp.zeros((b, h, w, c), jnp.float32)
+    off = jnp.zeros((b, h, w, 2 * k * k), jnp.float32)
+    wgt = jnp.zeros((k, k, c, cout), jnp.float32)
+
+    got = count_fn_flops(
+        lambda x, wgt: deform_conv2d_hat(
+            x, off, wgt, interpret=True, unconditional=True
+        ),
+        x, wgt,
+    )
+    th, tw, ty, tx, my, mx, wh, ww = _geometry(h, w, 8)
+    p, wf, grid = th * tw, wh * ww, b * ty * tx
+    # per grid step and tap: samples = hat[P,WF] @ window[WF,C], then
+    # out += samples[P,C] @ W_t[C,COUT]
+    expect = grid * k * k * (2 * p * wf * c + 2 * p * c * cout)
+    assert got == expect
