@@ -174,8 +174,15 @@ def main():
     try:
         from s2anet_tpu.utils.flops import count_fn_flops, measure_matmul_peak
 
+        # MFU numerator = the model's ALGORITHMIC FLOPs, traced on the
+        # gather deform path: the hat kernel generates its bilinear-sampling
+        # matrix as extra MXU matmuls, and counting those implementation
+        # FLOPs would inflate MFU without more useful work done (same
+        # convention as excluding remat recompute FLOPs)
+        model_nominal = model.clone(deform_impl="gather")
+
         def one_batch(v, im):
-            out = model.apply(v, im, train=False)
+            out = model_nominal.apply(v, im, train=False)
             return s2anet_get_bboxes(out, **post_kwargs)
 
         per_chip_flops = count_fn_flops(
