@@ -361,3 +361,42 @@ def test_hat_trial_compile_is_cached(monkeypatch):
     r2 = dk._hat_trial("faketpu")
     assert r1 == r2 and len(calls) == n1  # cached, no second trial
     dk._hat_trial.cache_clear()
+
+
+def test_hat_full_p3_tile_grid(rng):
+    """Full P3 tile GRID geometry (128x128 -> 8x4 tiles of 16x32): the
+    multi-tile overlap-add fold and window addressing match the gather path
+    at fp32 tolerance on both fwd and bwd. Channels kept tiny so interpret
+    mode stays fast; the tile/window/fold geometry is exactly production's."""
+    b, h, w, c, co = 1, 128, 128, 4, 4
+    x = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    off = jnp.asarray(
+        np.clip(rng.normal(size=(b, h, w, 9, 2)) * 2, -5, 5).astype(np.float32)
+    )
+    wgt = jnp.asarray((rng.normal(size=(3, 3, c, co)) * 0.1).astype(np.float32))
+
+    from s2anet_tpu.ops.pallas import deform_kernel as dk
+
+    th, tw, ty, tx, my, mx, _, _ = dk._geometry(h, w, 8)
+    assert (ty, tx) == (8, 4)
+    py, px = dk._tap_coords(off, h, w, 3, x.dtype)
+    assert bool(dk._window_ok(py, px, h, w, th, tw, ty, tx, my, mx))
+
+    ref = deform_conv2d(x, off, wgt, offset_grad=False)
+    hat = dk.deform_conv2d_hat(x, off, wgt, interpret=True,
+                               unconditional=True)
+    np.testing.assert_allclose(np.asarray(hat), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_r(x, w):
+        return (deform_conv2d(x, off, w, offset_grad=False) ** 2).sum()
+
+    def loss_h(x, w):
+        return (dk.deform_conv2d_hat(x, off, w, interpret=True,
+                                     unconditional=True) ** 2).sum()
+
+    gr = jax.grad(loss_r, argnums=(0, 1))(x, wgt)
+    gh = jax.grad(loss_h, argnums=(0, 1))(x, wgt)
+    for a, b_ in zip(gr, gh):
+        rel = float(jnp.abs(a - b_).max() / (jnp.abs(a).max() + 1e-9))
+        assert rel < 2e-5
