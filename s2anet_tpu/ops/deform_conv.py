@@ -142,15 +142,27 @@ def bilinear_patch_sample(feat, py, px):
     return (patch * wgt[..., None]).sum(axis=(2, 3))
 
 
-def _tap_positions(x_shape, offsets, t, k, dtype):
+def _tap_positions(x_shape, offsets, t, k, dtype=None):
+    """Absolute sample coordinates of tap t — ALWAYS f32.
+
+    The grid coordinate is large (up to H-1): adding the fractional offset
+    in bf16 would quantize the sample position by the ulp at that magnitude
+    (0.5 cell at rows >= 64), a spatially varying sampling bias. Coordinates
+    and bilinear weights are therefore computed in f32; consumers cast the
+    resulting WEIGHTS (range [0, 1], where bf16 ulp is harmless) back to the
+    compute dtype at use, so matmul/scatter byte costs are unchanged.
+    ``dtype`` is accepted for call-site compatibility and ignored.
+    """
+    del dtype
     b, h, w, _ = x_shape
     pad = (k - 1) // 2
-    gy = jnp.arange(h, dtype=dtype)[None, :, None]
-    gx = jnp.arange(w, dtype=dtype)[None, None, :]
+    f32 = jnp.float32
+    gy = jnp.arange(h, dtype=f32)[None, :, None]
+    gx = jnp.arange(w, dtype=f32)[None, None, :]
     ky = t // k - pad
     kx = t % k - pad
-    py = (gy + ky + offsets[..., t, 0]).reshape(b, h * w)
-    px = (gx + kx + offsets[..., t, 1]).reshape(b, h * w)
+    py = (gy + ky + offsets[..., t, 0].astype(f32)).reshape(b, h * w)
+    px = (gx + kx + offsets[..., t, 1].astype(f32)).reshape(b, h * w)
     return py, px
 
 

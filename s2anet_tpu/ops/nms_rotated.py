@@ -47,6 +47,8 @@ def _greedy_sweep_fused(boxes, alive0, iou_thr, labels=None,
       [K] bool survivors, in the sorted order.
     """
     k = boxes.shape[0]
+    if k == 0 or block == 0:  # empty candidate set: nothing to suppress
+        return alive0[:k]
     pad = (-k) % block
     if pad:
         boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
@@ -74,8 +76,11 @@ def _greedy_sweep_fused(boxes, alive0, iou_thr, labels=None,
             return a & ~(tile[r] & a[r])
 
         a_b = jax.lax.fori_loop(0, block, inner, a_b)
-        alive = jax.lax.dynamic_update_slice(alive, a_b, (start,))
-        # bulk-suppress every later candidate hit by a surviving row
+        # bulk-suppress every candidate hit by a surviving row. This covers
+        # the block's OWN columns too: a within-block kill means an alive
+        # earlier row overlaps it (-> in hit), and a within-block survivor
+        # is by construction hit by no alive row — so writing a_b back into
+        # alive first would be redundant.
         hit = jnp.any(overlap & a_b[:, None], axis=0)
         return alive & ~hit
 
@@ -149,6 +154,14 @@ def multiclass_nms_rotated(
     duplicated per class, filtered by ``score_thr``, suppressed per-class,
     capped at ``max_per_img``. Dynamic shapes are replaced by a fixed
     ``pre_nms_cap`` top-k candidate buffer and a validity mask.
+
+    Known, bounded divergence from the reference: when MORE than
+    ``pre_nms_cap`` (box, class) pairs exceed ``score_thr``, the lowest-
+    scored excess never enters NMS (the reference suppresses all of them).
+    Survivors are unaffected (truncation removes the weakest candidates,
+    which cannot suppress a higher-scored box); only sub-tail detections
+    past ~4096 candidates/image can be lost vs the reference. Raise
+    ``pre_nms_cap`` (config ``model.pre_nms_cap``) for pathological crowds.
 
     Adaptive cost, exact semantics: candidates are score-sorted, so when at
     most ``small_tier`` of them pass the score threshold, NMS over the first

@@ -34,7 +34,7 @@ objects of extent <= ~8 strides on each level, so AlignConv's analytic grid
 for every in-distribution anchor. Exactness is still unconditional — a cheap
 XLA predicate checks every tap of every position and a batch-level
 ``lax.cond`` falls back to the exact gather path when any refined anchor
-strays (see ``deform_conv2d_hat``'s ``ok`` output).
+strays (the dispatch lives in :func:`deform_conv2d_hat`).
 
 v5e, bf16, P3 shapes (8x128x128x256): see BENCH.md round-3 log.
 """
@@ -81,18 +81,27 @@ def _geometry(h, w, margin):
     return th, tw, ty, tx, my, mx, wh, ww
 
 
-def _tap_coords(offsets, h, w, k, dtype):
-    """Per-tap absolute sample coordinates, [B, KK, H, W] each for (y, x)."""
+def _tap_coords(offsets, h, w, k, dtype=None):
+    """Per-tap absolute sample coordinates, [B, KK, H, W] each for (y, x).
+
+    ALWAYS f32: adding the fractional offset to a grid coordinate in bf16
+    would quantize the sample position by the ulp at that magnitude (0.5
+    cell at rows >= 64). The hat weights built from these coordinates are
+    cast to the compute dtype only at the MXU matmul, where their [0, 1]
+    range makes bf16 harmless. ``dtype`` is ignored (kept for callers).
+    """
+    del dtype
+    f32 = jnp.float32
     b = offsets.shape[0]
     pad = (k - 1) // 2
-    gy = jnp.arange(h, dtype=dtype)[None, None, :, None]
-    gx = jnp.arange(w, dtype=dtype)[None, None, None, :]
+    gy = jnp.arange(h, dtype=f32)[None, None, :, None]
+    gx = jnp.arange(w, dtype=f32)[None, None, None, :]
     kk = jnp.arange(k * k)
-    ky = (kk // k - pad).astype(dtype)[None, :, None, None]
-    kx = (kk % k - pad).astype(dtype)[None, :, None, None]
+    ky = (kk // k - pad).astype(f32)[None, :, None, None]
+    kx = (kk % k - pad).astype(f32)[None, :, None, None]
     off = offsets.reshape(b, h, w, k * k, 2).transpose(0, 3, 1, 2, 4)
-    py = gy + ky + off[..., 0]
-    px = gx + kx + off[..., 1]
+    py = gy + ky + off[..., 0].astype(f32)
+    px = gx + kx + off[..., 1].astype(f32)
     return py, px
 
 
@@ -151,12 +160,13 @@ def _prep(x, offsets, k, margin, stack_windows=True, compute_ok=False):
     # window-local coordinates: lp = p - (tile_origin - margin). Padded
     # (beyond-image) positions are filled so that after base subtraction
     # lp <= -2 for every tile -> every hat weight is exactly 0.
-    fill = jnp.array(-2.0 * max(my, mx) - 2.0, x.dtype)
+    fill = jnp.array(-2.0 * max(my, mx) - 2.0, jnp.float32)
     lpy = _tile_order(py, b, kk, ty, th, tx, tw, fill) - (
-        jnp.repeat(jnp.tile(jnp.arange(ty, dtype=x.dtype) * th - my, b), tx)
+        jnp.repeat(jnp.tile(jnp.arange(ty, dtype=jnp.float32) * th - my, b),
+                   tx)
     )[:, None, None]
     lpx = _tile_order(px, b, kk, ty, th, tx, tw, fill) - (
-        jnp.tile(jnp.arange(tx, dtype=x.dtype) * tw - mx, b * ty)
+        jnp.tile(jnp.arange(tx, dtype=jnp.float32) * tw - mx, b * ty)
     )[:, None, None]
 
     # padded feature map; "stack" mode additionally materializes the window
@@ -184,8 +194,8 @@ def _fwd_kernel(lpy_ref, lpx_ref, win_ref, wconv_ref, out_ref, *,
     dt = win_ref.dtype
     wf = wh * ww
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, wf), 1)
-    jy = (iota // ww).astype(dt)  # [1, Wf]
-    jx = (iota % ww).astype(dt)
+    jy = (iota // ww).astype(jnp.float32)  # [1, Wf]; hat built in f32, cast
+    jx = (iota % ww).astype(jnp.float32)   # to the MXU dtype only at matmul
     win = win_ref[0]              # [Wf, C]
     acc = jnp.zeros((p, cout), jnp.float32)
     for t in range(kk):
@@ -231,8 +241,8 @@ def _fwd_kernel_dma(lpy_ref, lpx_ref, xp_ref, wconv_ref, out_ref,
     win = win_scr[i % 2].reshape(wf, win_scr.shape[-1])
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, wf), 1)
-    jy = (iota // ww).astype(dt)
-    jx = (iota % ww).astype(dt)
+    jy = (iota // ww).astype(jnp.float32)
+    jx = (iota % ww).astype(jnp.float32)
     acc = jnp.zeros((p, cout), jnp.float32)
     for t in range(kk):
         lpy = lpy_ref[0, :, t:t + 1]
@@ -249,8 +259,8 @@ def _bwd_kernel(lpy_ref, lpx_ref, win_ref, wconv_ref, g_ref,
     dt = win_ref.dtype
     wf = wh * ww
     iota = jax.lax.broadcasted_iota(jnp.int32, (wf, 1), 0)
-    jy = (iota // ww).astype(dt)  # [Wf, 1]
-    jx = (iota % ww).astype(dt)
+    jy = (iota // ww).astype(jnp.float32)  # [Wf, 1]; hat in f32, cast at MXU
+    jx = (iota % ww).astype(jnp.float32)
     win = win_ref[0]
     g = g_ref[0]                  # [P, Cout]
 
@@ -511,9 +521,9 @@ def _hat_trial(backend: str) -> bool:
         import logging
 
         logging.getLogger(__name__).warning(
-            "hat deform kernel failed its trial compile on %s (%s); "
+            "hat deform kernel failed its trial compile on %s (%s: %s); "
             "deform_impl='auto' falls back to the XLA gather path",
-            backend, type(e).__name__,
+            backend, type(e).__name__, str(e)[:500],
         )
         return False
 

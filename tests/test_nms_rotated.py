@@ -118,3 +118,14 @@ def test_multiclass_nms_empty():
         boxes, scores, 0.05, 0.5, max_per_img=20, pre_nms_cap=64
     )
     assert not np.asarray(det_valid).any()
+
+
+def test_nms_empty_inputs():
+    """K=0 candidates must not crash the fused sweep (block would be 0)."""
+    import jax.numpy as jnp
+
+    keep = nms_rotated(jnp.zeros((0, 5)), jnp.zeros((0,)))
+    assert keep.shape == (0,)
+    keep_ml = ml_nms_rotated(jnp.zeros((0, 5)), jnp.zeros((0,)),
+                             jnp.zeros((0,), jnp.int32))
+    assert keep_ml.shape == (0,)

@@ -400,3 +400,40 @@ def test_hat_full_p3_tile_grid(rng):
     for a, b_ in zip(gr, gh):
         rel = float(jnp.abs(a - b_).max() / (jnp.abs(a).max() + 1e-9))
         assert rel < 2e-5
+
+
+def test_bf16_inputs_keep_f32_sample_coords():
+    """Sample coordinates must be computed in f32 even for bf16 inputs: a
+    bf16 coordinate at x ~ 120 has ulp 0.5, so a +0.25-cell offset would
+    snap to .0 or .5 and the bilinear weights would degenerate to
+    {0, 0.5, 1}. Checks both paths' coordinate builders and the derived
+    weights at the far edge of a 128-wide map."""
+    import jax.numpy as jnp
+
+    from s2anet_tpu.ops import deform_conv as dc
+    from s2anet_tpu.ops.pallas import deform_kernel as dk
+
+    b, h, w = 1, 4, 128
+    off = np.zeros((b, h, w, 9, 2), np.float32)
+    off[..., 1] = 0.25
+    off_bf = jnp.asarray(off).astype(jnp.bfloat16)
+
+    # gather path: tap 4 (centre), x offset +0.25
+    py, px = dc._tap_positions((b, h, w, 8), off_bf, 4, 3, jnp.bfloat16)
+    assert px.dtype == jnp.float32
+    px = np.asarray(px).reshape(h, w)
+    np.testing.assert_allclose(px[1], np.arange(w) + 0.25, atol=1e-6)
+
+    # derived bilinear weights stay exact at large x
+    cy, cx, wy, wx, _, _ = dc._corner_data(
+        (b, h, w, 8), jnp.asarray(py), jnp.asarray(px.reshape(1, -1))
+    )
+    wx0 = np.asarray(wx[0]).reshape(h, w)
+    np.testing.assert_allclose(wx0[1, 1:-2], 0.75, atol=1e-6)
+
+    # hat path coordinate builder
+    hpy, hpx = dk._tap_coords(off_bf, h, w, 3, jnp.bfloat16)
+    assert hpx.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(hpx)[0, 4, 1], np.arange(w) + 0.25, atol=1e-6
+    )
