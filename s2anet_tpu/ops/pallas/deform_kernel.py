@@ -63,6 +63,12 @@ MARGIN = 8
 # (no stack materialization). Env knob for A/B: S2A_HAT_WIN.
 WIN_MODE = os.environ.get("S2A_HAT_WIN", "stack")
 
+# Mosaic's default scoped-VMEM budget is 16 MiB; the backward kernel's
+# resident set at P3 geometry (f32 dwin accumulator + double-buffered window
+# and grad blocks once the grid has >1 step) measures 16.9 MiB — just over.
+# v5e has 128 MiB of VMEM per core; grant the kernels a third of it.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=40 * 1024 * 1024)
+
 
 def _geometry(h, w, margin):
     """Tile/window geometry. The backward's overlap-add fold lays each tile
@@ -358,6 +364,7 @@ def _call_fwd(x, offsets, weight, margin, interpret):
                 pltpu.VMEM((2, wh, ww, c), x.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
+            compiler_params=_VMEM_LIMIT,
             interpret=interpret,
         )(lpy, lpx, feat, wconv)
     else:
@@ -373,6 +380,7 @@ def _call_fwd(x, offsets, weight, margin, interpret):
             ],
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((bt, p, cout), x.dtype),
+            compiler_params=_VMEM_LIMIT,
             interpret=interpret,
         )(lpy, lpx, feat, wconv)
     out = out.reshape(b, ty, tx, th, tw, cout).transpose(0, 1, 3, 2, 4, 5)
@@ -419,6 +427,7 @@ def _call_bwd(x, offsets, weight, g, margin, interpret):
             jax.ShapeDtypeStruct((bt, wf, c), x.dtype),
             jax.ShapeDtypeStruct((kk, c, cout), jnp.float32),
         ),
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(lpy, lpx, windows, wconv, gt)
     dx = _fold_windows(dwin.astype(jnp.float32), b, h, w, c,
@@ -504,11 +513,15 @@ def _hat_trial(backend: str) -> bool:
     to it. One tiny compile per process, cached.
     """
     try:
-        # ONE production-geometry tile (TILE_H x TILE_W window, C=256 as at
-        # P3): tiny channel counts would compile where the real kernel's
-        # VMEM/register footprint fails, certifying nothing
-        x = jnp.zeros((1, TILE_H, TILE_W, 256), jnp.bfloat16)
-        off = jnp.zeros((1, TILE_H, TILE_W, 18), jnp.bfloat16)
+        # a 2x2 grid of production-geometry tiles (TILE_H x TILE_W, C=256 as
+        # at P3): tiny channel counts would compile where the real kernel's
+        # VMEM footprint fails, and a SINGLE tile (grid=1) certifies nothing
+        # about the multi-step grid either — Mosaic double-buffers every
+        # in/out block once the grid pipelines, which is what pushed the
+        # backward past the scoped-VMEM budget the first time this ran on
+        # real hardware
+        x = jnp.zeros((1, 2 * TILE_H, 2 * TILE_W, 256), jnp.bfloat16)
+        off = jnp.zeros((1, 2 * TILE_H, 2 * TILE_W, 18), jnp.bfloat16)
         wgt = jnp.zeros((3, 3, 256, 256), jnp.bfloat16)
 
         def f(xx, ww):
