@@ -146,12 +146,43 @@ def evaluate_on_chips(model, state, cfg, mesh=None, dataset=None,
         rect=rect, rect_stride=getattr(cfg.eval, "rect_stride", 32),
     )
     dtype = jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
+    quant_vars = None
+    if (eval_step is None
+            and getattr(cfg.model, "quant", "none") == "int8"
+            and getattr(model, "quant", "none") == "none"):
+        # int8 PTQ: calibrate activation ranges on the first val batches
+        # (square letterbox — one static shape), then run the quantized
+        # model. Float stays the default; see ops/quant.py.
+        from ..ops.quant import calibrate
+
+        k = max(1, int(getattr(cfg.model, "quant_calib_batches", 4)))
+        calib_loader = BatchLoader(
+            dataset, cfg.eval.batch_size, shuffle=False, drop_last=False,
+            num_workers=cfg.data.workers or None, mode=cfg.data.loader,
+        )
+        stacks = []
+        for batch in calib_loader:
+            imgs = batch["imgs"]
+            if imgs.shape[0] < cfg.eval.batch_size:  # wrap-pad partial
+                sel = np.arange(cfg.eval.batch_size - imgs.shape[0]) % imgs.shape[0]
+                imgs = np.concatenate([imgs, imgs[sel]], 0)
+            stacks.append(imgs)
+            if len(stacks) >= k:
+                break
+        params = state.ema_params if use_ema else state.params
+        bstats = state.ema_batch_stats if use_ema else state.batch_stats
+        quant_vars = calibrate(
+            model, {"params": params, "batch_stats": bstats},
+            jnp.asarray(np.stack(stacks)).astype(dtype),
+        )
+        model = model.clone(quant="int8")
     if eval_step is None:
         eval_step = make_eval_step(
             model, model_cfg=cfg.model, compute_dtype=dtype, mesh=mesh,
             use_ema=use_ema, with_loss=with_loss,
             imgs_size=(cfg.data.img_size, cfg.data.img_size),
             num_classes=cfg.model.num_classes,
+            quant_vars=quant_vars,
         )
 
     num_classes = cfg.model.num_classes

@@ -34,6 +34,11 @@ class S2ANet(nn.Module):
     # mesh for shard_map'ing the hat AlignConv on >1-device meshes (set by
     # parallel.step; GSPMD cannot partition a Pallas custom call itself)
     deform_mesh: Optional[Any] = None
+    # int8 PTQ inference: "none" (float, the parity default) | "calib"
+    # (float forward that records activation ranges into the mutable
+    # "quant" collection) | "int8" (static PTQ — needs the calibrated
+    # "quant" collection among the apply variables). See ops/quant.py.
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, imgs, train: bool = False):
@@ -43,12 +48,14 @@ class S2ANet(nn.Module):
             frozen_stages=self.frozen_stages,
             norm_eval=self.norm_eval,
             remat=self.backbone_remat and train,
+            quant=self.quant,
             name="backbone",
         )(imgs, train=train)
         pyramid = FPN(
             in_channels=tuple(stage_channels(self.backbone_name)),
             out_channels=256,
             num_outs=len(self.strides),
+            quant=self.quant,
             name="neck",
         )(feats)
         return S2ANetHead(
@@ -58,5 +65,6 @@ class S2ANet(nn.Module):
             deform_impl=self.deform_impl,
             align_offset_clamp=self.align_offset_clamp,
             deform_mesh=self.deform_mesh,
+            quant=self.quant,
             name="head",
         )(pyramid, train=train)

@@ -51,14 +51,18 @@ class _ConvStack(nn.Module):
     feat_channels: int
     n: int
     dtype: Optional[Any] = None
+    quant: str = "none"       # int8 PTQ mode (ops/quant.py)
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.quant import conv_ctor
+
+        Conv = conv_ctor(self.quant)
         dtype = self.dtype if self.dtype is not None else x.dtype
         for i in range(self.n):
-            x = nn.Conv(self.feat_channels, (3, 3), padding="SAME",
-                        kernel_init=_conv_init, dtype=dtype,
-                        name=f"conv{i}")(x)
+            x = Conv(self.feat_channels, (3, 3), padding="SAME",
+                     kernel_init=_conv_init, dtype=dtype,
+                     name=f"conv{i}")(x)
             x = nn.relu(x)
         return x
 
@@ -89,12 +93,16 @@ class S2ANetHead(nn.Module):
     # over the mesh's (leading) axis on the batch dim — AlignConv is
     # per-image, so the batch split needs no halos or collectives
     deform_mesh: Optional[Any] = None
+    # int8 PTQ mode for the FAM/ODM conv STACKS (ops/quant.py); the 1x1/3x3
+    # prediction heads, AlignConv and ORConv stay float — output precision
+    # and the deformable sampling are where quantization error would bite
+    quant: str = "none"
 
     def setup(self):
         fc = self.feat_channels
         nc = self.num_classes
-        self.fam_reg_ls = _ConvStack(fc, self.stacked_convs, dtype=self.dtype, name="fam_reg_ls")
-        self.fam_cls_ls = _ConvStack(fc, self.stacked_convs, dtype=self.dtype, name="fam_cls_ls")
+        self.fam_reg_ls = _ConvStack(fc, self.stacked_convs, dtype=self.dtype, quant=self.quant, name="fam_reg_ls")
+        self.fam_cls_ls = _ConvStack(fc, self.stacked_convs, dtype=self.dtype, quant=self.quant, name="fam_cls_ls")
         # FAM output heads are 1x1, ODM heads are 3x3 (head.py:205-227)
         self.fam_reg_head = nn.Conv(5, (1, 1), kernel_init=_conv_init,
                                     dtype=self.dtype, name="fam_reg_head")
@@ -124,8 +132,8 @@ class S2ANetHead(nn.Module):
                                    kernel_init=_conv_init, dtype=self.dtype,
                                    name="or_conv")
 
-        self.odm_reg_ls = _ConvStack(fc, self.stacked_convs, dtype=self.dtype, name="odm_reg_ls")
-        self.odm_cls_ls = _ConvStack(fc, self.stacked_convs, dtype=self.dtype, name="odm_cls_ls")
+        self.odm_reg_ls = _ConvStack(fc, self.stacked_convs, dtype=self.dtype, quant=self.quant, name="odm_reg_ls")
+        self.odm_cls_ls = _ConvStack(fc, self.stacked_convs, dtype=self.dtype, quant=self.quant, name="odm_cls_ls")
         self.odm_reg_head = nn.Conv(5, (3, 3), padding="SAME",
                                     kernel_init=_conv_init, dtype=self.dtype,
                                     name="odm_reg_head")

@@ -18,6 +18,8 @@ from typing import Any, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.quant import conv_ctor
+
 Dtype = Optional[Any]
 
 ARCH_SETTINGS = {
@@ -109,22 +111,24 @@ class BasicBlock(nn.Module):
     downsample: bool = False
     train: bool = False
     dtype: Dtype = None
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
+        Conv = conv_ctor(self.quant)
         residual = x
-        y = nn.Conv(self.planes, (3, 3), (self.stride, self.stride),
-                    [(1, 1), (1, 1)],
-                    use_bias=False, kernel_init=_he_init, dtype=self.dtype, name="conv1")(x)
+        y = Conv(self.planes, (3, 3), (self.stride, self.stride),
+                 [(1, 1), (1, 1)],
+                 use_bias=False, kernel_init=_he_init, dtype=self.dtype, name="conv1")(x)
         y = _BatchNorm(not self.train, "bn1", self.dtype)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.planes, (3, 3), (1, 1), [(1, 1), (1, 1)],
-                    use_bias=False, kernel_init=_he_init, dtype=self.dtype, name="conv2")(y)
+        y = Conv(self.planes, (3, 3), (1, 1), [(1, 1), (1, 1)],
+                 use_bias=False, kernel_init=_he_init, dtype=self.dtype, name="conv2")(y)
         y = _BatchNorm(not self.train, "bn2", self.dtype)(y)
         if self.downsample:
-            residual = nn.Conv(self.planes, (1, 1), (self.stride, self.stride),
-                               use_bias=False, kernel_init=_he_init,
-                               dtype=self.dtype, name="downsample_conv")(x)
+            residual = Conv(self.planes, (1, 1), (self.stride, self.stride),
+                            use_bias=False, kernel_init=_he_init,
+                            dtype=self.dtype, name="downsample_conv")(x)
             residual = _BatchNorm(not self.train, "downsample_bn", self.dtype)(residual)
         return nn.relu(y + residual)
 
@@ -136,27 +140,29 @@ class Bottleneck(nn.Module):
     train: bool = False
     expansion: int = 4
     dtype: Dtype = None
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
+        Conv = conv_ctor(self.quant)
         residual = x
-        y = nn.Conv(self.planes, (1, 1), use_bias=False,
-                    kernel_init=_he_init, dtype=self.dtype, name="conv1")(x)
+        y = Conv(self.planes, (1, 1), use_bias=False,
+                 kernel_init=_he_init, dtype=self.dtype, name="conv1")(x)
         y = _BatchNorm(not self.train, "bn1", self.dtype)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.planes, (3, 3), (self.stride, self.stride),
-                    [(1, 1), (1, 1)],
-                    use_bias=False, kernel_init=_he_init, dtype=self.dtype, name="conv2")(y)
+        y = Conv(self.planes, (3, 3), (self.stride, self.stride),
+                 [(1, 1), (1, 1)],
+                 use_bias=False, kernel_init=_he_init, dtype=self.dtype, name="conv2")(y)
         y = _BatchNorm(not self.train, "bn2", self.dtype)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
-                    kernel_init=_he_init, dtype=self.dtype, name="conv3")(y)
+        y = Conv(self.planes * self.expansion, (1, 1), use_bias=False,
+                 kernel_init=_he_init, dtype=self.dtype, name="conv3")(y)
         y = _BatchNorm(not self.train, "bn3", self.dtype)(y)
         if self.downsample:
-            residual = nn.Conv(self.planes * self.expansion, (1, 1),
-                               (self.stride, self.stride), use_bias=False,
-                               kernel_init=_he_init, dtype=self.dtype,
-                               name="downsample_conv")(x)
+            residual = Conv(self.planes * self.expansion, (1, 1),
+                            (self.stride, self.stride), use_bias=False,
+                            kernel_init=_he_init, dtype=self.dtype,
+                            name="downsample_conv")(x)
             residual = _BatchNorm(not self.train, "downsample_bn", self.dtype)(residual)
         return nn.relu(y + residual)
 
@@ -187,6 +193,9 @@ class ResNetBackbone(nn.Module):
     # bf16 MXU convs + bf16 activations, the TPU-native training config;
     # f32 in tests -> exact f32)
     dtype: Dtype = None
+    # int8 PTQ inference mode for the block convs: "none" | "calib" | "int8"
+    # (ops/quant.py); the stem stays float (12-ch s2d input, negligible cost)
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -224,6 +233,7 @@ class ResNetBackbone(nn.Module):
                     downsample=down,
                     train=bn_train(stage + 1),
                     dtype=dtype,
+                    quant=self.quant,
                     name=f"layer{stage + 1}_{b}",
                 )(y)
                 in_ch = planes * expansion

@@ -139,6 +139,7 @@ def make_eval_step(
     with_loss: bool = False,
     imgs_size=None,
     num_classes: Optional[int] = None,
+    quant_vars=None,
 ):
     """Build the jitted eval step: forward + decode + NMS, batched.
 
@@ -177,8 +178,14 @@ def make_eval_step(
     def forward(state: TrainState, imgs):
         params = state.ema_params if use_ema else state.params
         bstats = state.ema_batch_stats if use_ema else state.batch_stats
+        variables = {"params": params, "batch_stats": bstats}
+        if quant_vars is not None:
+            # calibrated int8 activation ranges (ops/quant.py) — host
+            # scalars closed over here, so they fold into the compiled
+            # program as constants
+            variables["quant"] = quant_vars
         return model.apply(
-            {"params": params, "batch_stats": bstats},
+            variables,
             imgs.astype(compute_dtype),
             train=False,
         )

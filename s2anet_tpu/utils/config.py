@@ -47,6 +47,13 @@ class ModelConfig:
     # background — no detection is decoded there) and guarantees the fast
     # path. 6.0 keeps every tap inside the kernel's margin-8 window.
     align_offset_clamp: float = 0.0
+    # int8 post-training quantization for INFERENCE (ops/quant.py):
+    # "none" (float, the parity default) | "int8" (calibrate activation
+    # ranges on the first eval batches, then run backbone/FPN/head-stack
+    # convs through the int8 MXU — ~2x conv rate on v5e). Training always
+    # runs float.
+    quant: str = "none"
+    quant_calib_batches: int = 4      # batches used to calibrate ranges
     # inference (head.py:73-76)
     score_thr: float = 0.05
     nms_iou_thr: float = 0.5

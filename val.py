@@ -35,6 +35,10 @@ def parse_opt():
     p.add_argument("--rect", action="store_true",
                    help="shape-ordered rect batches (reference val.py:219 "
                         "rect=True pad=0.5) — faster on non-square datasets")
+    p.add_argument("--quant", default="none", choices=["none", "int8"],
+                   help="int8 post-training quantization for inference "
+                        "(calibrates on the first val batches; ~2x conv "
+                        "rate on the TPU MXU)")
     return p.parse_args()
 
 
@@ -59,6 +63,7 @@ def main(opt):
             "num_classes": opt.num_classes,
             "score_thr": opt.conf_thres,
             "nms_iou_thr": opt.iou_thres,
+            "quant": opt.quant,
         },
         "data": {"val_list": opt.data_root, "root": opt.data_root,
                  "img_size": opt.img_size, "val_gt_dir": opt.gt_dir,
