@@ -221,6 +221,23 @@ def main(opt):
         align_offset_clamp=cfg.model.align_offset_clamp,
     )
     state = _load_state(model, cfg, opt.weights, opt.img_size)
+    if getattr(cfg.model, "fold_bn", True):
+        # serving-time conv+BN weight folding (models/fold.py; reference
+        # fuse_conv_and_bn parity) — predict.py is always standalone serving
+        import jax
+
+        from s2anet_tpu.models.fold import fold_bn_for_eval
+
+        sel_p = state.ema_params if not opt.no_ema else state.params
+        sel_b = (state.ema_batch_stats if not opt.no_ema
+                 else state.batch_stats)
+        model, folded = fold_bn_for_eval(
+            model, jax.device_get({"params": sel_p, "batch_stats": sel_b}))
+        state = state.replace(
+            params=folded["params"], ema_params=folded["params"],
+            batch_stats=folded["batch_stats"],
+            ema_batch_stats=folded["batch_stats"],
+        )
 
     save_dir = Path(opt.save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)

@@ -147,33 +147,81 @@ def evaluate_on_chips(model, state, cfg, mesh=None, dataset=None,
     )
     dtype = jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
     quant_vars = None
+    if (eval_step is not None
+            and getattr(cfg.model, "quant", "none") == "int8"
+            and getattr(model, "quant", "none") == "none"):
+        import warnings
+
+        warnings.warn(
+            "cfg.model.quant='int8' is ignored: a pre-built (float) "
+            "eval_step was passed; build the step through "
+            "evaluate_on_chips(eval_step=None) to get the quantized program",
+            stacklevel=2,
+        )
+    if eval_step is None and getattr(cfg.model, "fold_bn", True):
+        # serving-time conv+BN weight folding (models/fold.py; reference
+        # fuse_conv_and_bn parity): standalone inference only — the
+        # trainer's per-epoch val passes a pre-built eval_step and keeps
+        # live BN statistics
+        from ..models.fold import fold_bn_for_eval
+
+        params = state.ema_params if use_ema else state.params
+        bstats = state.ema_batch_stats if use_ema else state.batch_stats
+        model, folded = fold_bn_for_eval(
+            model, {"params": params, "batch_stats": bstats})
+        state = state.replace(
+            params=folded["params"], ema_params=folded["params"],
+            batch_stats=folded["batch_stats"],
+            ema_batch_stats=folded["batch_stats"],
+        )
     if (eval_step is None
             and getattr(cfg.model, "quant", "none") == "int8"
             and getattr(model, "quant", "none") == "none"):
         # int8 PTQ: calibrate activation ranges on the first val batches
         # (square letterbox — one static shape), then run the quantized
         # model. Float stays the default; see ops/quant.py.
+        import itertools
+
         from ..ops.quant import calibrate
 
         k = max(1, int(getattr(cfg.model, "quant_calib_batches", 4)))
+        # a dedicated cheap loader: thread mode + 1 worker (spinning the
+        # full process pool up for ~4 batches costs more than it saves,
+        # and abandoning a process-mode generator mid-iteration leaves
+        # worker/shm teardown to the GC); islice + close() makes the
+        # early exit deterministic
         calib_loader = BatchLoader(
             dataset, cfg.eval.batch_size, shuffle=False, drop_last=False,
-            num_workers=cfg.data.workers or None, mode=cfg.data.loader,
+            num_workers=1, mode="thread",
         )
         stacks = []
-        for batch in calib_loader:
-            imgs = batch["imgs"]
-            if imgs.shape[0] < cfg.eval.batch_size:  # wrap-pad partial
-                sel = np.arange(cfg.eval.batch_size - imgs.shape[0]) % imgs.shape[0]
-                imgs = np.concatenate([imgs, imgs[sel]], 0)
-            stacks.append(imgs)
-            if len(stacks) >= k:
-                break
+        it = iter(calib_loader)
+        try:
+            for batch in itertools.islice(it, k):
+                imgs = batch["imgs"]
+                if imgs.shape[0] < cfg.eval.batch_size:  # wrap-pad partial
+                    sel = (np.arange(cfg.eval.batch_size - imgs.shape[0])
+                           % imgs.shape[0])
+                    imgs = np.concatenate([imgs, imgs[sel]], 0)
+                stacks.append(imgs)
+        finally:
+            if hasattr(it, "close"):
+                it.close()
+        calib = np.stack(stacks)  # [K, B, H, W, C]
+        n_dev = mesh.devices.size if mesh is not None else 1
+        if n_dev > 1 and calib.shape[1] % n_dev == 0:
+            # calibrate() jits on ONE device: re-chunk the mesh-global
+            # batches to per-device size so calibration fits wherever the
+            # sharded eval fits (per-tensor min/max ranges are batch-size
+            # independent; multi-process range reduction happens inside
+            # calibrate())
+            k_, b = calib.shape[:2]
+            calib = calib.reshape((k_ * n_dev, b // n_dev) + calib.shape[2:])
         params = state.ema_params if use_ema else state.params
         bstats = state.ema_batch_stats if use_ema else state.batch_stats
         quant_vars = calibrate(
             model, {"params": params, "batch_stats": bstats},
-            jnp.asarray(np.stack(stacks)).astype(dtype),
+            jnp.asarray(calib).astype(dtype),
         )
         model = model.clone(quant="int8")
     if eval_step is None:

@@ -34,11 +34,20 @@ class S2ANet(nn.Module):
     # mesh for shard_map'ing the hat AlignConv on >1-device meshes (set by
     # parallel.step; GSPMD cannot partition a Pallas custom call itself)
     deform_mesh: Optional[Any] = None
+    # height-sharded (spatial) inputs over deform_mesh: the hat AlignConv
+    # runs under a halo-exchange shard_map (models/head.py:_spatial_hat)
+    deform_spatial: bool = False
     # int8 PTQ inference: "none" (float, the parity default) | "calib"
     # (float forward that records activation ranges into the mutable
     # "quant" collection) | "int8" (static PTQ — needs the calibrated
     # "quant" collection among the apply variables). See ops/quant.py.
     quant: str = "none"
+    # serving-time conv+BN weight folding (models/fold.py): apply only with
+    # variables from fold_bn_variables(); inference only
+    fold_bn: bool = False
+    # >0: train-time BN stats from the first k batch images (models/resnet.py
+    # SampledBatchNorm — the reference's per-GPU small-batch regime)
+    bn_stats_images: int = 0
 
     @nn.compact
     def __call__(self, imgs, train: bool = False):
@@ -49,6 +58,8 @@ class S2ANet(nn.Module):
             norm_eval=self.norm_eval,
             remat=self.backbone_remat and train,
             quant=self.quant,
+            fold_bn=self.fold_bn,
+            bn_stats_images=self.bn_stats_images,
             name="backbone",
         )(imgs, train=train)
         pyramid = FPN(
@@ -65,6 +76,7 @@ class S2ANet(nn.Module):
             deform_impl=self.deform_impl,
             align_offset_clamp=self.align_offset_clamp,
             deform_mesh=self.deform_mesh,
+            deform_spatial=self.deform_spatial,
             quant=self.quant,
             name="head",
         )(pyramid, train=train)

@@ -41,6 +41,54 @@ from .losses import focal_loss_with_logits, smooth_l1_loss
 _conv_init = nn.initializers.normal(0.01)
 
 
+def _spatial_hat(hat, mesh, clamp: float):
+    """Wrap a hat-deform callable for HEIGHT-sharded inputs (spatial whole-
+    image inference, parallel/spatial.py) via shard_map + halo exchange.
+
+    With offsets clamped to ``c`` cells, an output row r samples only rows
+    within ``r +- (c + 2)`` (kernel pad 1 + bilinear support 1), so each
+    shard needs a ``c + 2``-row halo from its neighbors: two ``ppermute``s
+    move the boundary rows, the kernel runs per shard on the extended
+    block (halo output rows, computed against dummy offsets, are sliced
+    off), and edge shards' missing halos arrive as ppermute zero-fill —
+    exactly the kernel's zero-pad image-boundary semantics. Levels whose
+    per-shard height is at most the halo all-gather instead (stride >= 64
+    maps are tiny). GSPMD cannot partition the Pallas custom call at all —
+    this manual region is what keeps the 4-5x hat win in spatial mode.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    halo = int(math.ceil(clamp)) + 2
+
+    def body(xs, os, wt):
+        hs = xs.shape[1]
+        if hs <= halo:
+            # shard too thin for a one-hop halo: rebuild the full (tiny)
+            # level on every shard and keep this shard's output rows
+            xf = jax.lax.all_gather(xs, axis, axis=1, tiled=True)
+            of = jax.lax.all_gather(os, axis, axis=1, tiled=True)
+            yf = hat(xf, of, wt)
+            row0 = jax.lax.axis_index(axis) * hs
+            return jax.lax.dynamic_slice_in_dim(yf, row0, hs, axis=1)
+        up = jax.lax.ppermute(xs[:, -halo:], axis,
+                              [(i, i + 1) for i in range(n - 1)])
+        dn = jax.lax.ppermute(xs[:, :halo], axis,
+                              [(i + 1, i) for i in range(n - 1)])
+        xext = jnp.concatenate([up, xs, dn], axis=1)
+        # halo output rows get zero offsets (any in-window dummy works:
+        # their outputs are sliced off); offsets may be [B,H,W,KK,2] or
+        # flat [B,H,W,KK*2], so pad axis 1 rank-generically
+        oext = jnp.pad(os, ((0, 0), (halo, halo))
+                       + ((0, 0),) * (os.ndim - 2))
+        return hat(xext, oext, wt)[:, halo:-halo]
+
+    spec = P(None, axis, None, None)
+    return jax.shard_map(body, mesh=mesh, in_specs=(spec, spec, P()),
+                         out_specs=spec, check_vma=False)
+
+
 def _bias_init_with_prob(prob: float) -> float:
     return -math.log((1 - prob) / prob)
 
@@ -93,20 +141,29 @@ class S2ANetHead(nn.Module):
     # over the mesh's (leading) axis on the batch dim — AlignConv is
     # per-image, so the batch split needs no halos or collectives
     deform_mesh: Optional[Any] = None
-    # int8 PTQ mode for the FAM/ODM conv STACKS (ops/quant.py); the 1x1/3x3
-    # prediction heads, AlignConv and ORConv stay float — output precision
-    # and the deformable sampling are where quantization error would bite
+    # the inputs are HEIGHT-sharded over deform_mesh instead of batch-
+    # sharded (spatial whole-image inference, parallel/spatial.py): the
+    # hat kernel runs under a halo-exchange shard_map (:func:`_spatial_hat`).
+    # Requires 0 < align_offset_clamp <= margin-2 (the halo bound).
+    deform_spatial: bool = False
+    # int8 PTQ mode (ops/quant.py) for the FAM/ODM conv stacks, the 1x1/3x3
+    # prediction heads AND the ORConv (whose ARF-expanded kernel quantizes
+    # per-output-channel like any other); only the AlignConv stays float —
+    # the deformable sampling rides the bf16 hat kernel
     quant: str = "none"
 
     def setup(self):
+        from ..ops.quant import conv_ctor
+
+        Conv = conv_ctor(self.quant)
         fc = self.feat_channels
         nc = self.num_classes
         self.fam_reg_ls = _ConvStack(fc, self.stacked_convs, dtype=self.dtype, quant=self.quant, name="fam_reg_ls")
         self.fam_cls_ls = _ConvStack(fc, self.stacked_convs, dtype=self.dtype, quant=self.quant, name="fam_cls_ls")
         # FAM output heads are 1x1, ODM heads are 3x3 (head.py:205-227)
-        self.fam_reg_head = nn.Conv(5, (1, 1), kernel_init=_conv_init,
-                                    dtype=self.dtype, name="fam_reg_head")
-        self.fam_cls_head = nn.Conv(
+        self.fam_reg_head = Conv(5, (1, 1), kernel_init=_conv_init,
+                                 dtype=self.dtype, name="fam_reg_head")
+        self.fam_cls_head = Conv(
             nc, (1, 1), kernel_init=_conv_init,
             bias_init=nn.initializers.constant(_bias_init_with_prob(0.01)),
             dtype=self.dtype, name="fam_cls_head")
@@ -127,6 +184,17 @@ class S2ANetHead(nn.Module):
             self.or_bias = self.param(
                 "or_bias", nn.initializers.zeros, (fc,), jnp.float32
             )
+            if self.quant in ("calib", "int8"):
+                # per-tensor activation range for the int8 ORConv (the conv
+                # itself is functional — the ARF rotation generates its
+                # kernel — so the range variables live on the head; +-inf
+                # init makes the first calib fold take the batch range)
+                self.or_act_min = self.variable(
+                    "quant", "or_act_min",
+                    lambda: jnp.full((), jnp.inf, jnp.float32))
+                self.or_act_max = self.variable(
+                    "quant", "or_act_max",
+                    lambda: jnp.full((), -jnp.inf, jnp.float32))
         else:
             self.or_conv = nn.Conv(fc, (3, 3), padding="SAME",
                                    kernel_init=_conv_init, dtype=self.dtype,
@@ -134,10 +202,10 @@ class S2ANetHead(nn.Module):
 
         self.odm_reg_ls = _ConvStack(fc, self.stacked_convs, dtype=self.dtype, quant=self.quant, name="odm_reg_ls")
         self.odm_cls_ls = _ConvStack(fc, self.stacked_convs, dtype=self.dtype, quant=self.quant, name="odm_cls_ls")
-        self.odm_reg_head = nn.Conv(5, (3, 3), padding="SAME",
-                                    kernel_init=_conv_init, dtype=self.dtype,
-                                    name="odm_reg_head")
-        self.odm_cls_head = nn.Conv(
+        self.odm_reg_head = Conv(5, (3, 3), padding="SAME",
+                                 kernel_init=_conv_init, dtype=self.dtype,
+                                 name="odm_reg_head")
+        self.odm_cls_head = Conv(
             nc, (3, 3), padding="SAME", kernel_init=_conv_init,
             bias_init=nn.initializers.constant(_bias_init_with_prob(0.01)),
             dtype=self.dtype, name="odm_cls_head")
@@ -209,16 +277,29 @@ class S2ANetHead(nn.Module):
                 )  # offsets are stop-gradient (hat VJP returns zeros)
                 mesh = self.deform_mesh
                 if mesh is not None and mesh.devices.size > 1:
-                    from jax.sharding import PartitionSpec as P
+                    if self.deform_spatial:
+                        if not uncond:
+                            raise ValueError(
+                                "deform_spatial (height-sharded hat "
+                                "AlignConv) needs 0 < align_offset_clamp "
+                                f"<= {HAT_MARGIN - 2} to bound the halo; "
+                                "unclamped offsets must use the gather "
+                                "path (parallel/spatial.py pins it)"
+                            )
+                        hat = _spatial_hat(hat, mesh,
+                                           self.align_offset_clamp)
+                    else:
+                        from jax.sharding import PartitionSpec as P
 
-                    spec = P(mesh.axis_names[0])
-                    # check_vma=False: the per-shard body is collective-free
-                    # and its pallas_call out_shape carries no vma annotation
-                    hat = jax.shard_map(
-                        hat, mesh=mesh,
-                        in_specs=(spec, spec, P()), out_specs=spec,
-                        check_vma=False,
-                    )
+                        spec = P(mesh.axis_names[0])
+                        # check_vma=False: the per-shard body is
+                        # collective-free and its pallas_call out_shape
+                        # carries no vma annotation
+                        hat = jax.shard_map(
+                            hat, mesh=mesh,
+                            in_specs=(spec, spec, P()), out_specs=spec,
+                            check_vma=False,
+                        )
                 align = nn.relu(
                     hat(x, offsets.astype(x.dtype),
                         self.align_weight.astype(x.dtype))
@@ -232,11 +313,28 @@ class S2ANetHead(nn.Module):
             if self.with_orconv:
                 w_arf = rotate_arf(self.or_weight, self.n_orientations)
                 # OIHW -> HWIO for lax conv
-                w_hwio = w_arf.transpose(2, 3, 1, 0).astype(x.dtype)
-                or_feat = jax.lax.conv_general_dilated(
-                    align, w_hwio, (1, 1), "SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                ) + self.or_bias.astype(x.dtype)
+                w_hwio = w_arf.transpose(2, 3, 1, 0)
+                if self.quant == "int8":
+                    from ..ops.quant import int8_conv
+
+                    # the ARF-expanded kernel quantizes like any other:
+                    # each rotated copy is its own output channel, so the
+                    # per-output-channel scales absorb the rotation exactly
+                    or_feat = int8_conv(
+                        align, w_hwio, self.or_act_min.value,
+                        self.or_act_max.value, dtype=x.dtype,
+                    )
+                else:
+                    if self.quant == "calib":
+                        from ..ops.quant import fold_batch_range
+
+                        fold_batch_range(self.or_act_min, self.or_act_max,
+                                         align)
+                    or_feat = jax.lax.conv_general_dilated(
+                        align, w_hwio.astype(x.dtype), (1, 1), "SAME",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    )
+                or_feat = or_feat + self.or_bias.astype(x.dtype)
                 odm_cls_feat = rotation_invariant_pooling(
                     or_feat, self.n_orientations
                 )

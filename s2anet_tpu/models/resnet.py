@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.quant import conv_ctor
@@ -33,12 +34,103 @@ ARCH_SETTINGS = {
 _he_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
-def _BatchNorm(use_running_average: bool, name: str, dtype: Dtype = None):
+class _FoldedBias(nn.Module):
+    """What is left of a BatchNorm after serving-time weight folding
+    (models/fold.py): the scale lives in the preceding conv's kernel, so
+    only a per-channel bias add remains (XLA fuses it into the conv
+    epilogue). Declares the single ``bias`` param the fold writes."""
+
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],),
+                          jnp.float32)
+        return x + bias.astype(self.dtype if self.dtype is not None
+                               else x.dtype)
+
+
+class SampledBatchNorm(nn.Module):
+    """BatchNorm whose training statistics come from the first
+    ``stats_images`` images of the batch (normalization, running-average
+    updates and parameters are identical to ``nn.BatchNorm``).
+
+    Why: the BN-stat reductions are the largest non-MXU block of the train
+    step (39 ms of 183.6 — BENCH.md round-3 trace): with batch stats over
+    the full batch, every BN re-reads its conv's entire output from HBM.
+    Estimating the stats from a k-image PREFIX cuts that pass's bytes by
+    B/k with whole-image (tile-aligned) slices that XLA can actually skip
+    (row-strided subsampling would still touch every (8, 128) tile).
+
+    Semantics: this is *small-batch BN*, the thing the reference computes
+    anyway — torch DDP without SyncBN derives BN stats from the PER-GPU
+    batch (global 8 over 4 GPUs = stats over 2 images;
+    /root/reference/train.py DDP path), while this repo's default is exact
+    global-batch stats. ``stats_images=2`` therefore reproduces the
+    reference's statistical regime; it is still gated on the synthetic
+    train->val acceptance (BENCH.md) before any preset ships it.
+
+    Parameter/stats tree matches ``nn.BatchNorm`` exactly ("scale",
+    "bias"; "mean", "var"), so checkpoints are interchangeable.
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = None
+    stats_images: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        feats = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feats,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feats,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feats,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feats,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            k = max(1, min(self.stats_images, x.shape[0]))
+            xs = x[:k].astype(jnp.float32)
+            mean = xs.mean(axis=(0, 1, 2))
+            # E[x^2] - E[x]^2, like flax's _compute_stats (one pass over xs)
+            var = jnp.maximum(
+                (xs * xs).mean(axis=(0, 1, 2)) - mean * mean, 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        dtype = self.dtype if self.dtype is not None else x.dtype
+        mul = (scale * jax.lax.rsqrt(var + self.epsilon)).astype(dtype)
+        return (x.astype(dtype) - mean.astype(dtype)) * mul \
+            + bias.astype(dtype)
+
+
+def _BatchNorm(use_running_average: bool, name: str, dtype: Dtype = None,
+               fold: bool = False, stats_images: int = 0):
     """BatchNorm matching torch defaults (eps 1e-5, torch momentum 0.1).
 
     ``dtype`` is the computation dtype (activations); parameters and the
     batch statistics stay float32 (flax computes stats in >= float32).
+    ``fold=True`` (inference only, after :func:`..models.fold.
+    fold_bn_variables`) swaps in the residual bias-add. ``stats_images>0``
+    swaps in :class:`SampledBatchNorm` (identical trees).
     """
+    if fold:
+        return _FoldedBias(dtype=dtype, name=name)
+    if stats_images > 0:
+        return SampledBatchNorm(
+            use_running_average=use_running_average,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=dtype,
+            stats_images=stats_images,
+            name=name,
+        )
     return nn.BatchNorm(
         use_running_average=use_running_average,
         momentum=0.9,
@@ -112,6 +204,8 @@ class BasicBlock(nn.Module):
     train: bool = False
     dtype: Dtype = None
     quant: str = "none"
+    fold_bn: bool = False
+    bn_stats_images: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -120,16 +214,19 @@ class BasicBlock(nn.Module):
         y = Conv(self.planes, (3, 3), (self.stride, self.stride),
                  [(1, 1), (1, 1)],
                  use_bias=False, kernel_init=_he_init, dtype=self.dtype, name="conv1")(x)
-        y = _BatchNorm(not self.train, "bn1", self.dtype)(y)
+        y = _BatchNorm(not self.train, "bn1", self.dtype, self.fold_bn,
+                        self.bn_stats_images if self.train else 0)(y)
         y = nn.relu(y)
         y = Conv(self.planes, (3, 3), (1, 1), [(1, 1), (1, 1)],
                  use_bias=False, kernel_init=_he_init, dtype=self.dtype, name="conv2")(y)
-        y = _BatchNorm(not self.train, "bn2", self.dtype)(y)
+        y = _BatchNorm(not self.train, "bn2", self.dtype, self.fold_bn,
+                        self.bn_stats_images if self.train else 0)(y)
         if self.downsample:
             residual = Conv(self.planes, (1, 1), (self.stride, self.stride),
                             use_bias=False, kernel_init=_he_init,
                             dtype=self.dtype, name="downsample_conv")(x)
-            residual = _BatchNorm(not self.train, "downsample_bn", self.dtype)(residual)
+            residual = _BatchNorm(not self.train, "downsample_bn", self.dtype, self.fold_bn,
+                        self.bn_stats_images if self.train else 0)(residual)
         return nn.relu(y + residual)
 
 
@@ -141,6 +238,8 @@ class Bottleneck(nn.Module):
     expansion: int = 4
     dtype: Dtype = None
     quant: str = "none"
+    fold_bn: bool = False
+    bn_stats_images: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -148,22 +247,26 @@ class Bottleneck(nn.Module):
         residual = x
         y = Conv(self.planes, (1, 1), use_bias=False,
                  kernel_init=_he_init, dtype=self.dtype, name="conv1")(x)
-        y = _BatchNorm(not self.train, "bn1", self.dtype)(y)
+        y = _BatchNorm(not self.train, "bn1", self.dtype, self.fold_bn,
+                        self.bn_stats_images if self.train else 0)(y)
         y = nn.relu(y)
         y = Conv(self.planes, (3, 3), (self.stride, self.stride),
                  [(1, 1), (1, 1)],
                  use_bias=False, kernel_init=_he_init, dtype=self.dtype, name="conv2")(y)
-        y = _BatchNorm(not self.train, "bn2", self.dtype)(y)
+        y = _BatchNorm(not self.train, "bn2", self.dtype, self.fold_bn,
+                        self.bn_stats_images if self.train else 0)(y)
         y = nn.relu(y)
         y = Conv(self.planes * self.expansion, (1, 1), use_bias=False,
                  kernel_init=_he_init, dtype=self.dtype, name="conv3")(y)
-        y = _BatchNorm(not self.train, "bn3", self.dtype)(y)
+        y = _BatchNorm(not self.train, "bn3", self.dtype, self.fold_bn,
+                        self.bn_stats_images if self.train else 0)(y)
         if self.downsample:
             residual = Conv(self.planes * self.expansion, (1, 1),
                             (self.stride, self.stride), use_bias=False,
                             kernel_init=_he_init, dtype=self.dtype,
                             name="downsample_conv")(x)
-            residual = _BatchNorm(not self.train, "downsample_bn", self.dtype)(residual)
+            residual = _BatchNorm(not self.train, "downsample_bn", self.dtype, self.fold_bn,
+                        self.bn_stats_images if self.train else 0)(residual)
         return nn.relu(y + residual)
 
 
@@ -196,9 +299,21 @@ class ResNetBackbone(nn.Module):
     # int8 PTQ inference mode for the block convs: "none" | "calib" | "int8"
     # (ops/quant.py); the stem stays float (12-ch s2d input, negligible cost)
     quant: str = "none"
+    # serving-time conv+BN weight folding (models/fold.py): apply only with
+    # variables rewritten by fold_bn_variables(); inference only
+    fold_bn: bool = False
+    # >0: train-time BN statistics from the first k images of the batch
+    # (SampledBatchNorm) — the reference's per-GPU-batch regime; 0 = exact
+    # full-batch stats (the parity default)
+    bn_stats_images: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.fold_bn and train:
+            raise ValueError(
+                "fold_bn is a serving-time transform: the folded model has "
+                "no BatchNorm statistics to train (models/fold.py)"
+            )
         dtype = self.dtype if self.dtype is not None else x.dtype
         block_kind, layer_cfg = ARCH_SETTINGS[self.arch]
         block = BasicBlock if block_kind == "basic" else Bottleneck
@@ -214,7 +329,8 @@ class ResNetBackbone(nn.Module):
         outs = []
         # C1: 7x7/2 stem
         y = _StemConv(64, dtype=dtype, name="conv1")(x)
-        y = _BatchNorm(not bn_train(0), "bn1", dtype)(y)
+        y = _BatchNorm(not bn_train(0), "bn1", dtype, self.fold_bn,
+                       self.bn_stats_images if bn_train(0) else 0)(y)
         y = nn.relu(y)
         if 0 in self.out_indices:
             outs.append(y)
@@ -234,6 +350,8 @@ class ResNetBackbone(nn.Module):
                     train=bn_train(stage + 1),
                     dtype=dtype,
                     quant=self.quant,
+                    fold_bn=self.fold_bn,
+                    bn_stats_images=self.bn_stats_images,
                     name=f"layer{stage + 1}_{b}",
                 )(y)
                 in_ch = planes * expansion

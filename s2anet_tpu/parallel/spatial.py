@@ -44,9 +44,23 @@ def make_spatial_eval_step(
     if mesh.devices.size > 1 and getattr(model, "deform_impl", None) != "gather":
         # the hat-matmul AlignConv is a Pallas custom call — GSPMD cannot
         # spatially partition it and would all-gather the sharded activations
-        # around it, defeating the height sharding. The XLA gather path
-        # partitions cleanly (halo exchanges), so spatial inference pins it.
-        model = model.clone(deform_impl="gather")
+        # around it, defeating the height sharding. With a bounded sampling
+        # reach (align_offset_clamp, the flagship preset) the head instead
+        # runs it under a height-axis shard_map with a clamp+2-row halo
+        # exchange (models/head.py:_spatial_hat) — the 4-5x hat win survives
+        # spatial mode. Unclamped offsets have unbounded reach, so only then
+        # does spatial inference pin the XLA gather path (which GSPMD
+        # partitions cleanly with its own halo exchanges).
+        from ..ops.pallas.deform_kernel import MARGIN, hat_kernel_supported
+
+        clamp = float(getattr(model, "align_offset_clamp", 0.0))
+        if 0.0 < clamp <= MARGIN - 2 and (
+                getattr(model, "deform_impl", "auto") == "hat"
+                or hat_kernel_supported()):
+            model = model.clone(deform_impl="hat", deform_mesh=mesh,
+                                deform_spatial=True)
+        else:
+            model = model.clone(deform_impl="gather")
     post_kwargs = {}
     if model_cfg is not None:
         post_kwargs = dict(

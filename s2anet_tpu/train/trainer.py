@@ -90,6 +90,7 @@ class Trainer:
             backbone_remat=cfg.model.backbone_remat,
             deform_impl=cfg.model.deform_impl,
             align_offset_clamp=cfg.model.align_offset_clamp,
+            bn_stats_images=getattr(cfg.model, "bn_stats_images", 0),
         )
         self.mesh = make_mesh_for_batch(
             cfg.train.batch_size, cfg.eval.batch_size

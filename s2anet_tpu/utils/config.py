@@ -36,6 +36,13 @@ class ModelConfig:
     # rematerialize backbone activations in the backward (trades FLOPs for
     # HBM when the step sits at the memory cliff; off = let XLA decide)
     backbone_remat: bool = False
+    # >0: train-time BatchNorm statistics from the first k images of the
+    # batch (models/resnet.py SampledBatchNorm) — cuts the BN-stat HBM
+    # pass by batch/k. This is the reference's own statistical regime
+    # (torch DDP without SyncBN = per-GPU-batch stats, e.g. 2 images);
+    # 0 = exact global-batch stats (the parity default). Gated on the
+    # synthetic acceptance run before any preset ships it.
+    bn_stats_images: int = 0
     # AlignConv implementation: "auto" (Pallas hat-matmul kernel on TPU,
     # XLA gather elsewhere), "hat", or "gather" — see ops/pallas/deform_kernel.py
     deform_impl: str = "auto"
@@ -54,6 +61,12 @@ class ModelConfig:
     # runs float.
     quant: str = "none"
     quant_calib_batches: int = 4      # batches used to calibrate ranges
+    # serving-time conv+BN weight folding (models/fold.py; reference
+    # fuse_conv_and_bn, utils/torch_utils.py:206-230): standalone inference
+    # (val.py / predict.py) folds the BN affine+stats into conv kernels at
+    # load time — exact up to one f32 reassociation per channel. Training
+    # and the trainer's per-epoch val always keep live BN.
+    fold_bn: bool = True
     # inference (head.py:73-76)
     score_thr: float = 0.05
     nms_iou_thr: float = 0.5

@@ -167,3 +167,103 @@ class TestDetectorQuant:
         det_boxes, det_labels, det_valid = step(state, imgs)
         assert det_boxes.shape == (2, 32, 6)
         assert np.isfinite(np.asarray(det_boxes)).all()
+
+
+class TestUnsupportedKwargs:
+    def test_grouped_conv_rejected_clearly(self):
+        x = _rand((1, 8, 8, 8))
+        q = QuantConv(8, (3, 3), feature_group_count=2, mode="int8", name="c")
+        with pytest.raises(NotImplementedError, match="feature_group_count"):
+            q.init(jax.random.PRNGKey(0), x)
+
+    def test_dilated_conv_rejected_clearly(self):
+        x = _rand((1, 8, 8, 8))
+        q = QuantConv(8, (3, 3), kernel_dilation=(2, 2), mode="calib",
+                      name="c")
+        with pytest.raises(NotImplementedError, match="dilation"):
+            q.init(jax.random.PRNGKey(0), x)
+
+
+class TestBnFold:
+    """Serving-time conv+BN weight folding (models/fold.py; reference
+    fuse_conv_and_bn, utils/torch_utils.py:206-230)."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from flax.traverse_util import flatten_dict, unflatten_dict
+
+        model = S2ANet(backbone_name="resnet18", num_classes=3,
+                       deform_impl="gather")
+        imgs = jnp.asarray(
+            np.random.default_rng(7).uniform(size=(2, 64, 64, 3))
+            .astype(np.float32))
+        v = model.init(jax.random.PRNGKey(0), imgs, train=False)
+        # non-trivial BN affine + running stats, so the fold has real work
+        rng = np.random.default_rng(8)
+        bs = flatten_dict(v["batch_stats"])
+        for k in bs:
+            if k[-1] == "mean":
+                bs[k] = jnp.asarray(
+                    rng.normal(0, 0.3, bs[k].shape).astype(np.float32))
+            if k[-1] == "var":
+                bs[k] = jnp.asarray(
+                    rng.uniform(0.5, 2.0, bs[k].shape).astype(np.float32))
+        p = flatten_dict(v["params"])
+        for k in p:
+            if k[-1] == "scale":
+                p[k] = jnp.asarray(
+                    rng.uniform(0.5, 1.5, p[k].shape).astype(np.float32))
+        v = {"params": unflatten_dict(p), "batch_stats": unflatten_dict(bs)}
+        return model, v, imgs
+
+    def test_fold_forward_exact(self, setup):
+        from s2anet_tpu.models.fold import fold_bn_for_eval
+
+        model, v, imgs = setup
+        out_ref = model.apply(v, imgs, train=False)
+        fmodel, fv = fold_bn_for_eval(model, v)
+        out_fold = fmodel.apply(fv, imgs, train=False)
+        for key in ("odm_cls", "odm_bbox", "fam_bbox"):
+            for lvl in range(len(out_ref[key])):
+                np.testing.assert_allclose(
+                    np.asarray(out_ref[key][lvl]),
+                    np.asarray(out_fold[key][lvl]), atol=2e-4)
+
+    def test_fold_removes_bn_work(self, setup):
+        from s2anet_tpu.models.fold import fold_bn_for_eval
+
+        model, v, imgs = setup
+        fmodel, fv = fold_bn_for_eval(model, v)
+        # every BN's scale/mean/var is consumed; only the bias remains
+        from flax.traverse_util import flatten_dict
+
+        fp = flatten_dict(fv["params"])
+        assert not any(k[-1] == "scale" and k[-2].startswith(("bn", "downsample"))
+                       for k in fp)
+        assert not flatten_dict(fv.get("batch_stats", {}))
+
+    def test_fold_train_raises(self, setup):
+        from s2anet_tpu.models.fold import fold_bn_for_eval
+
+        model, v, imgs = setup
+        fmodel, fv = fold_bn_for_eval(model, v)
+        with pytest.raises(ValueError, match="serving-time"):
+            fmodel.apply(fv, imgs, train=True, mutable=["batch_stats"])
+
+    def test_fold_composes_with_int8(self, setup):
+        """fold -> calibrate -> int8: the serving pipeline end to end."""
+        from s2anet_tpu.models.fold import fold_bn_for_eval
+
+        model, v, imgs = setup
+        out_f = model.apply(v, imgs, train=False)
+        fmodel, fv = fold_bn_for_eval(model, v)
+        quant = calibrate(fmodel, fv, imgs[None])
+        out_q = fmodel.clone(quant="int8").apply(
+            {**fv, "quant": quant}, imgs, train=False)
+        for k in ("odm_cls", "odm_bbox"):
+            for lvl in range(len(out_f[k])):
+                a = np.asarray(out_f[k][lvl], np.float32)
+                b = np.asarray(out_q[k][lvl], np.float32)
+                scale = max(np.abs(a).max(), 0.05)
+                assert np.abs(a - b).max() / scale < 0.07, (k, lvl)
+
