@@ -134,12 +134,18 @@ def main():
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, size, size, 3), jnp.bfloat16),
                            train=False)
+    # serving-time conv+BN weight folding (models/fold.py) — the val.py /
+    # predict.py load-time default (ModelConfig.fold_bn=True), so the bench
+    # keeps measuring exactly what standalone inference runs
+    from s2anet_tpu.models.fold import fold_bn_for_eval
 
-    def make_scan(n):
+    model, variables = fold_bn_for_eval(model, variables)
+
+    def make_scan(n, mdl):
         @jax.jit
         def fn(variables, imgs):
             def body(c, im):
-                out = model.apply(variables, im, train=False)
+                out = mdl.apply(variables, im, train=False)
                 det_boxes, det_labels, det_valid = s2anet_get_bboxes(
                     out, **post_kwargs
                 )
@@ -148,24 +154,49 @@ def main():
             return s
         return fn
 
-    f_short = make_scan(n_short)
-    f_long = make_scan(n_long)
-    t0 = time.perf_counter()
-    float(f_short(variables, imgs[:n_short]))
-    float(f_long(variables, imgs))
-    print(f"compile+first: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    def differenced_rate(mdl, vs):
+        """chips/s from two scan lengths inside one jit region (see module
+        docstring); returns (chips_per_sec, compile_s)."""
+        f_short = make_scan(n_short, mdl)
+        f_long = make_scan(n_long, mdl)
+        t0 = time.perf_counter()
+        float(f_short(vs, imgs[:n_short]))
+        float(f_long(vs, imgs))
+        compile_s = time.perf_counter() - t0
+        ts, tl = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f_short(vs, imgs[:n_short]))
+            ts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(f_long(vs, imgs))
+            tl.append(time.perf_counter() - t0)
+        dt = min(tl) - min(ts)
+        return (n_long - n_short) * batch / dt, compile_s
 
-    ts, tl = [], []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(f_short(variables, imgs[:n_short]))
-        ts.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(f_long(variables, imgs))
-        tl.append(time.perf_counter() - t0)
-    dt = min(tl) - min(ts)
-    chips = (n_long - n_short) * batch
-    chips_per_sec = chips / dt
+    chips_per_sec, compile_s = differenced_rate(model, variables)
+    print(f"compile+first: {compile_s:.1f}s", file=sys.stderr)
+
+    # --- int8 PTQ serving rate (the `val.py --quant int8` path) ---
+    # calibrate per-tensor activation ranges on one synthetic batch, then
+    # run the quantized program through the same differenced scan. Reported
+    # as extra JSON keys; the headline stays float (the reference protocol
+    # is fp16 eval — int8 is a beyond-reference serving mode, accuracy-
+    # checked against the converged synthetic checkpoint in BENCH.md).
+    int8_chips_per_sec = None
+    try:
+        from s2anet_tpu.ops.quant import calibrate
+
+        qranges = calibrate(model, variables, imgs[:1])
+        vars_q = dict(variables)
+        vars_q["quant"] = qranges
+        int8_chips_per_sec, compile_q = differenced_rate(
+            model.clone(quant="int8"), vars_q)
+        print(f"int8: {int8_chips_per_sec:.1f} chips/s "
+              f"({int8_chips_per_sec / chips_per_sec:.2f}x float; "
+              f"compile {compile_q:.1f}s)", file=sys.stderr)
+    except Exception as e:
+        print(f"int8 bench: skipped ({e})", file=sys.stderr)
 
     # --- MFU diagnostic (stderr): model FLOP rate vs measured matmul peak ---
     # FLOPs counted analytically from the jaxpr (2 x MACs over every
@@ -219,12 +250,15 @@ def main():
     except Exception as e:
         print(f"loader bench: skipped ({e})", file=sys.stderr)
 
-    print(json.dumps({
+    result = {
         "metric": "s2anet_r50_1024_infer_throughput_e2e",
         "value": round(chips_per_sec, 2),
         "unit": "chips/sec/chip",
         "vs_baseline": round(chips_per_sec / BASELINE_CHIPS_PER_SEC, 3),
-    }))
+    }
+    if int8_chips_per_sec is not None:
+        result["int8_chips_per_sec"] = round(int8_chips_per_sec, 2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
