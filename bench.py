@@ -156,10 +156,25 @@ def main():
 
     def differenced_rate(mdl, vs):
         """chips/s from two scan lengths inside one jit region (see module
-        docstring); returns (chips_per_sec, compile_s)."""
+        docstring); returns (chips_per_sec, compile_s).
+
+        The two scan programs are independent XLA compilations, so they are
+        compiled CONCURRENTLY (trace/lower serializes on the GIL, the XLA
+        compile itself releases it) — cold start pays ~max of the two
+        compile times instead of their sum."""
+        from concurrent.futures import ThreadPoolExecutor
+
         f_short = make_scan(n_short, mdl)
         f_long = make_scan(n_long, mdl)
         t0 = time.perf_counter()
+        try:
+            with ThreadPoolExecutor(2) as ex:
+                cs = ex.submit(
+                    lambda: f_short.lower(vs, imgs[:n_short]).compile())
+                cl = ex.submit(lambda: f_long.lower(vs, imgs).compile())
+                f_short, f_long = cs.result(), cl.result()
+        except Exception as e:  # fall back to serial jit-on-first-call
+            print(f"concurrent compile failed ({e}); serial", file=sys.stderr)
         float(f_short(vs, imgs[:n_short]))
         float(f_long(vs, imgs))
         compile_s = time.perf_counter() - t0

@@ -18,8 +18,13 @@ the committed version so numbers stay reproducible.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+# runnable as `python tools/train_bench.py` from the repo root (PYTHONPATH
+# breaks the axon TPU plugin — see .claude/skills/verify/SKILL.md)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
