@@ -8,10 +8,15 @@ all inside one jit region, bf16 compute, batch 8 (the reference eval protocol
 is fp16 batch 16, val.py:437-440; batch has little effect at this size).
 
 Methodology: the whole pipeline is scanned over n batches *inside one jit
-region* and two scan lengths are differenced — this removes host->device
-dispatch and transfer overhead (which on tunneled devices can exceed the
-compute itself) and measures pure device throughput, the number that governs
-production serving where weights stay resident.
+region*, and ONE compiled program is timed at one call vs two back-to-back
+calls — the difference is the pure device time of one program execution
+(the second launch's host dispatch overlaps the first's device run). This
+removes host->device dispatch and transfer overhead (which on tunneled
+devices can exceed the compute itself) and measures pure device throughput,
+the number that governs production serving where weights stay resident.
+Earlier rounds differenced two scan LENGTHS (two separate XLA programs);
+one program halves the cold compile and removes cross-program variance —
+measured rates agree (BENCH.md round-4 log).
 
 ``vs_baseline`` normalizes against 25 chips/sec — the reference PyTorch
 implementation publishes no latency numbers; 25/s is the typical measured
@@ -102,7 +107,7 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     size = 1024
-    n_short, n_long = 2, 6
+    n_long = 6
     model = S2ANet(backbone_name="resnet50", num_classes=15)
     # NMS/decode params = the product defaults (config.py ModelConfig), so the
     # bench measures exactly what `val.py` runs
@@ -155,39 +160,26 @@ def main():
         return fn
 
     def differenced_rate(mdl, vs):
-        """chips/s from two scan lengths inside one jit region (see module
-        docstring); returns (chips_per_sec, compile_s).
-
-        The two scan programs are independent XLA compilations, so they are
-        compiled CONCURRENTLY (trace/lower serializes on the GIL, the XLA
-        compile itself releases it) — cold start pays ~max of the two
-        compile times instead of their sum."""
-        from concurrent.futures import ThreadPoolExecutor
-
-        f_short = make_scan(n_short, mdl)
-        f_long = make_scan(n_long, mdl)
+        """chips/s from ONE compiled scan program timed at one vs two
+        back-to-back calls (see module docstring); returns
+        (chips_per_sec, compile_s)."""
+        f = make_scan(n_long, mdl)
         t0 = time.perf_counter()
-        try:
-            with ThreadPoolExecutor(2) as ex:
-                cs = ex.submit(
-                    lambda: f_short.lower(vs, imgs[:n_short]).compile())
-                cl = ex.submit(lambda: f_long.lower(vs, imgs).compile())
-                f_short, f_long = cs.result(), cl.result()
-        except Exception as e:  # fall back to serial jit-on-first-call
-            print(f"concurrent compile failed ({e}); serial", file=sys.stderr)
-        float(f_short(vs, imgs[:n_short]))
-        float(f_long(vs, imgs))
+        f = f.lower(vs, imgs).compile()
+        float(f(vs, imgs))
         compile_s = time.perf_counter() - t0
-        ts, tl = [], []
+        t1s, t2s = [], []
         for _ in range(3):
             t0 = time.perf_counter()
-            float(f_short(vs, imgs[:n_short]))
-            ts.append(time.perf_counter() - t0)
+            float(f(vs, imgs))
+            t1s.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
-            float(f_long(vs, imgs))
-            tl.append(time.perf_counter() - t0)
-        dt = min(tl) - min(ts)
-        return (n_long - n_short) * batch / dt, compile_s
+            r1 = f(vs, imgs)
+            r2 = f(vs, imgs)
+            float(r1), float(r2)
+            t2s.append(time.perf_counter() - t0)
+        dt = min(t2s) - min(t1s)
+        return n_long * batch / dt, compile_s
 
     chips_per_sec, compile_s = differenced_rate(model, variables)
     print(f"compile+first: {compile_s:.1f}s", file=sys.stderr)
