@@ -80,7 +80,13 @@ def fold_bn_variables(variables, eps: float = 1e-5):
     out = dict(variables)
     out["params"] = unflatten_dict(new_params)
     out["batch_stats"] = unflatten_dict(new_stats)
-    return out
+    # return DEVICE arrays: the fold math runs in host numpy, but numpy
+    # leaves passed as jit arguments are re-uploaded on EVERY call (a 12x
+    # serving slowdown through the TPU tunnel — BENCH.md round-4 log);
+    # jnp.asarray pins each leaf once and is a no-op for jax arrays
+    import jax
+    import jax.numpy as jnp
+    return jax.tree_util.tree_map(jnp.asarray, out)
 
 
 def fold_bn_for_eval(model, variables, eps: float = 1e-5):

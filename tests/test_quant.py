@@ -242,6 +242,17 @@ class TestBnFold:
                        for k in fp)
         assert not flatten_dict(fv.get("batch_stats", {}))
 
+    def test_fold_returns_device_arrays(self, setup):
+        """Regression: the fold math runs in host numpy; returning numpy
+        leaves made every jit call RE-UPLOAD the full parameter set (a 12x
+        serving slowdown through the TPU tunnel, BENCH.md round-4 log)."""
+        from s2anet_tpu.models.fold import fold_bn_for_eval
+
+        model, v, imgs = setup
+        _, fv = fold_bn_for_eval(model, v)
+        for leaf in jax.tree_util.tree_leaves(fv):
+            assert isinstance(leaf, jax.Array), type(leaf)
+
     def test_fold_train_raises(self, setup):
         from s2anet_tpu.models.fold import fold_bn_for_eval
 
