@@ -51,16 +51,19 @@ _SIDE_EPS = 1e-6  # half-plane tie-break; triggers only on exact-zero crosses
 
 
 def _corners_centered(w, h, a):
-    """Corner offsets of a centered rotated rect, fixed orientation.
+    """Corner offsets of a centered rotated rect, stacked on a leading axis.
 
-    Returns four (x, y) tuples tracing the rectangle so that the interior
-    satisfies ``cross(edge_dir, p - corner) >= 0``.
+    Returns ``(px, py)``, each ``[4, *shape]``, tracing the rectangle so that
+    the interior satisfies ``cross(edge_dir, p - corner) >= 0``.
     """
     c2 = jnp.cos(a) * 0.5
     s2 = jnp.sin(a) * 0.5
-    p0 = (-s2 * h - c2 * w, c2 * h - s2 * w)
-    p1 = (s2 * h - c2 * w, -c2 * h - s2 * w)
-    return (p0, p1, (-p0[0], -p0[1]), (-p1[0], -p1[1]))
+    p0x = -s2 * h - c2 * w
+    p0y = c2 * h - s2 * w
+    p1x = s2 * h - c2 * w
+    p1y = -c2 * h - s2 * w
+    return (jnp.stack([p0x, p1x, -p0x, -p1x]),
+            jnp.stack([p0y, p1y, -p0y, -p1y]))
 
 
 def _clip_pass(pts_p, vec_p, pts_q, vec_q, eps):
@@ -69,30 +72,32 @@ def _clip_pass(pts_p, vec_p, pts_q, vec_q, eps):
     Each of P's four edges ``p + t*d, t in [0, 1]`` is clipped against Q's
     four half-planes ``cross(e_m, x - q_m) >= -eps`` (a 1-D interval
     intersection); its contribution is ``(t1 - t0) * cross(p, d)``.
+
+    Vectorized over both quartets: inputs are ``(x, y)`` pairs of ``[4, *S]``
+    arrays; the P-edge axis stays axis 0 and the Q-constraint quartet is
+    broadcast on a new axis 1, so the 4x4 clip is ~40 fused array ops instead
+    of 32 unrolled scalar iterations (a ~12x jaxpr/compile-size win — NMS
+    traces this block twice). Numerics are unchanged: max/min/all reductions
+    are order-independent, and the edge-contribution sum keeps the original
+    left-to-right association.
     """
-    acc = 0.0
-    for k in range(4):
-        px, py = pts_p[k]
-        dx, dy = vec_p[k]
-        d2 = dx * dx + dy * dy
-        lo = 0.0
-        hi = 1.0
-        ok = True
-        for m in range(4):
-            ex, ey = vec_q[m]
-            qx, qy = pts_q[m]
-            c1 = ex * dy - ey * dx
-            # opposite-direction collinear twins -> always-drop bias
-            tie = jnp.where(ex * dx + ey * dy > 0, eps, -_SIDE_EPS)
-            c0 = ex * (py - qy) - ey * (px - qx) + tie
-            para = c1 * c1 <= _PARALLEL_TOL2 * (ex * ex + ey * ey) * d2
-            t = -c0 / jnp.where(para, 1.0, c1)
-            lo = jnp.maximum(lo, jnp.where(~para & (c1 > 0), t, 0.0))
-            hi = jnp.minimum(hi, jnp.where(~para & (c1 < 0), t, 1.0))
-            ok = ok & (~para | (c0 >= 0))
-        dt = jnp.where(ok, jnp.maximum(hi - lo, 0.0), 0.0)
-        acc = acc + dt * (px * dy - py * dx)
-    return acc
+    px, py = (a[:, None] for a in pts_p)
+    dx, dy = (a[:, None] for a in vec_p)
+    qx, qy = (a[None, :] for a in pts_q)
+    ex, ey = (a[None, :] for a in vec_q)
+    d2 = dx * dx + dy * dy
+    c1 = ex * dy - ey * dx
+    # opposite-direction collinear twins -> always-drop bias
+    tie = jnp.where(ex * dx + ey * dy > 0, eps, -_SIDE_EPS)
+    c0 = ex * (py - qy) - ey * (px - qx) + tie
+    para = c1 * c1 <= _PARALLEL_TOL2 * (ex * ex + ey * ey) * d2
+    t = -c0 / jnp.where(para, 1.0, c1)
+    lo = jnp.maximum(0.0, jnp.max(jnp.where(~para & (c1 > 0), t, 0.0), axis=1))
+    hi = jnp.minimum(1.0, jnp.min(jnp.where(~para & (c1 < 0), t, 1.0), axis=1))
+    ok = jnp.all(~para | (c0 >= 0), axis=1)
+    dt = jnp.where(ok, jnp.maximum(hi - lo, 0.0), 0.0)
+    contrib = dt * (pts_p[0] * vec_p[1] - pts_p[1] * vec_p[0])
+    return contrib[0] + contrib[1] + contrib[2] + contrib[3]
 
 
 def iou_pairs(params1, params2):
@@ -113,18 +118,12 @@ def iou_pairs(params1, params2):
     # pair-midpoint centering: exact zeros for identical boxes
     sx = (x1 - x2) * 0.5
     sy = (y1 - y2) * 0.5
-    ca = _corners_centered(w1, h1, a1)
-    cb = _corners_centered(w2, h2, a2)
-    pa = [(px + sx, py + sy) for px, py in ca]
-    pb = [(px - sx, py - sy) for px, py in cb]
-    va = [
-        (pa[(k + 1) % 4][0] - pa[k][0], pa[(k + 1) % 4][1] - pa[k][1])
-        for k in range(4)
-    ]
-    vb = [
-        (pb[(k + 1) % 4][0] - pb[k][0], pb[(k + 1) % 4][1] - pb[k][1])
-        for k in range(4)
-    ]
+    cax, cay = _corners_centered(w1, h1, a1)
+    cbx, cby = _corners_centered(w2, h2, a2)
+    pa = (cax + sx, cay + sy)  # [4, *broadcast-shape] corner quartets
+    pb = (cbx - sx, cby - sy)
+    va = tuple(jnp.roll(p, -1, axis=0) - p for p in pa)  # directed edges
+    vb = tuple(jnp.roll(p, -1, axis=0) - p for p in pb)
 
     acc = _clip_pass(pa, va, pb, vb, _SIDE_EPS) + _clip_pass(
         pb, vb, pa, va, -_SIDE_EPS
