@@ -41,13 +41,16 @@ def parse_opt():
     p.add_argument("--weights", default="", help="checkpoint dir (train-state or deploy)")
     p.add_argument("--config", default="")
     p.add_argument("--mode", choices=["chips", "spatial"], default="chips")
-    p.add_argument("--backbone", default="resnet50")
-    p.add_argument("--num-classes", type=int, default=15)
-    p.add_argument("--img-size", type=int, default=1024, help="chip size (chips mode)")
+    # config-mirroring flags default to None so an untyped flag never stomps
+    # a --config value (utils.config.prune_overrides); --conf falls back to
+    # predict's own 0.3 (not eval's 0.05) when neither CLI nor config sets it
+    p.add_argument("--backbone", default=None)
+    p.add_argument("--num-classes", type=int, default=None)
+    p.add_argument("--img-size", type=int, default=None, help="chip size (chips mode)")
     p.add_argument("--gap", type=int, default=200, help="chip overlap (chips mode)")
     p.add_argument("--batch-size", type=int, default=4, help="chips per dispatch")
-    p.add_argument("--conf", type=float, default=0.3)
-    p.add_argument("--iou-thres", type=float, default=0.5,
+    p.add_argument("--conf", type=float, default=None)
+    p.add_argument("--iou-thres", type=float, default=None,
                    help="NMS threshold (also cross-chip merge NMS)")
     p.add_argument("--names", default="",
                    help="class preset: dota | dota-v1.5 | dota-v2.0 | hrsc")
@@ -181,6 +184,17 @@ def _predict_spatial(model, state, cfg, img_bgr, opt, cache):
     return [(int(c), float(s), p) for c, s, p in zip(labels, scores, polys)]
 
 
+def _config_sets(path, section, key) -> bool:
+    """True when the yaml config at ``path`` explicitly sets section.key."""
+    if not path:
+        return False
+    import yaml
+
+    with open(path) as f:
+        d = yaml.safe_load(f) or {}
+    return key in (d.get(section) or {})
+
+
 def main(opt):
     from s2anet_tpu.utils.jax_cache import enable_persistent_cache
 
@@ -193,9 +207,10 @@ def main(opt):
     from s2anet_tpu.eval.runner import save_dota_results
     from s2anet_tpu.models.detector import S2ANet
     from s2anet_tpu.parallel.step import make_eval_step
-    from s2anet_tpu.utils.config import NAMES_PRESETS, load_config
+    from s2anet_tpu.utils.config import (NAMES_PRESETS, load_config,
+                                         prune_overrides)
 
-    overrides = {
+    overrides = prune_overrides({
         "model": {
             "backbone": opt.backbone,
             "num_classes": opt.num_classes,
@@ -204,8 +219,14 @@ def main(opt):
         },
         "data": {"img_size": opt.img_size,
                  **({"names": opt.names} if opt.names else {})},
-    }
+    })
+    if opt.conf is None and not _config_sets(opt.config, "model", "score_thr"):
+        # predict keeps its own 0.3 default (vs the eval-time 0.05) unless
+        # the user or a config chooses otherwise
+        overrides.setdefault("model", {})["score_thr"] = 0.3
     cfg = load_config(opt.config or None, overrides)
+    opt.img_size = cfg.data.img_size
+    opt.iou_thres = cfg.model.nms_iou_thr
     # the chip slide is img_size - gap and must stay positive (the reference
     # devkit assumes gap < subsize too, ImgSplit gap=200 vs subsize=1024)
     opt.gap = min(opt.gap, opt.img_size // 2)

@@ -192,6 +192,25 @@ class Config:
             yaml.safe_dump(self.to_dict(), f, sort_keys=False)
 
 
+def prune_overrides(d: dict) -> dict:
+    """Drop ``None`` leaves (and then-empty sub-dicts) from an override tree.
+
+    The CLIs default config-mirroring flags to ``None`` and pass their
+    overrides through this, so a flag the user did NOT type never stomps a
+    value from ``--config`` (argparse defaults would otherwise silently
+    override the yaml — e.g. ``--backbone``'s default resnet50 replacing a
+    config's resnet18)."""
+    out = {}
+    for k, v in d.items():
+        if isinstance(v, dict):
+            v = prune_overrides(v)
+            if v:
+                out[k] = v
+        elif v is not None:
+            out[k] = v
+    return out
+
+
 def _merge(dc, overrides: dict):
     kwargs = {}
     for f in dataclasses.fields(dc):

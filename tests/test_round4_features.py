@@ -96,3 +96,65 @@ class TestSampledBatchNorm:
         g = jax.grad(loss_fn)(v["params"])
         assert all(np.isfinite(np.asarray(x)).all()
                    for x in jax.tree_util.tree_leaves(g))
+
+
+class TestCliConfigPrecedence:
+    """An untyped CLI flag must never stomp a --config value (the argparse
+    defaults used to silently override the yaml: a clamp6 synthetic config's
+    resnet18/3-class/256px setup was rebuilt as resnet50/15/1024, making
+    every checkpoint restore fail with a tree mismatch)."""
+
+    def test_prune_overrides_drops_none_and_empty_subdicts(self):
+        from s2anet_tpu.utils.config import prune_overrides
+
+        assert prune_overrides({
+            "model": {"backbone": None, "num_classes": 3},
+            "data": {"root": None},
+            "eval": {"rect": True},
+        }) == {"model": {"num_classes": 3}, "eval": {"rect": True}}
+
+    def test_config_survives_untyped_flags(self, tmp_path):
+        from s2anet_tpu.utils.config import load_config, prune_overrides
+
+        p = tmp_path / "c.yaml"
+        p.write_text(
+            "model: {backbone: resnet18, num_classes: 3}\n"
+            "data: {img_size: 256, names: [a, b, c]}\n"
+            "train: {epochs: 48}\n"
+            "eval: {batch_size: 16, rect: true}\n"
+        )
+        # what val.py builds when ONLY --config is typed
+        overrides = prune_overrides({
+            "model": {"backbone": None, "num_classes": None,
+                      "score_thr": None, "quant": None},
+            "data": {"val_list": None, "root": None, "img_size": None},
+            "eval": {"batch_size": None, "is_map_split": None,
+                     "task": None, "rect": None},
+        })
+        cfg = load_config(str(p), overrides)
+        assert cfg.model.backbone == "resnet18"
+        assert cfg.model.num_classes == 3
+        assert cfg.data.img_size == 256
+        assert cfg.train.epochs == 48
+        assert cfg.eval.rect is True
+        # an explicitly typed flag still wins over the config
+        cfg = load_config(str(p), prune_overrides(
+            {"model": {"backbone": "resnet34"}}))
+        assert cfg.model.backbone == "resnet34"
+
+    def test_cli_defaults_match_dataclass_defaults(self):
+        """The None-pruning refactor is only behavior-preserving for
+        config-less invocations if the dataclass defaults equal the old
+        argparse defaults — pin the load-bearing ones."""
+        from s2anet_tpu.utils.config import Config
+
+        cfg = Config()
+        assert cfg.model.backbone == "resnet50"
+        assert cfg.model.num_classes == 15
+        assert cfg.data.img_size == 1024
+        assert cfg.train.epochs == 12
+        assert cfg.train.batch_size == 8
+        assert cfg.train.lr0 == 0.005
+        assert cfg.train.dtype == "bfloat16"
+        assert cfg.train.save_dir == "runs/train/exp"
+        assert cfg.eval.batch_size == 16

@@ -34,11 +34,13 @@ def parse_opt():
     p.add_argument("--weights", default="",
                    help="checkpoint dir (train-state or deploy); empty = "
                         "random init (smoke use only)")
-    p.add_argument("--backbone", default="resnet50")
-    p.add_argument("--num-classes", type=int, default=15)
+    # config-mirroring flags default to None so an untyped flag never stomps
+    # a --config value (utils.config.prune_overrides)
+    p.add_argument("--backbone", default=None)
+    p.add_argument("--num-classes", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=8)
-    p.add_argument("--img-size", type=int, default=1024)
-    p.add_argument("--dtype", default="bfloat16",
+    p.add_argument("--img-size", type=int, default=None)
+    p.add_argument("--dtype", default=None,
                    choices=["bfloat16", "float32"])
     p.add_argument("--no-ema", action="store_true")
     p.add_argument("--out", default="s2anet.stablehlo")
@@ -112,16 +114,17 @@ def main(opt):
     import jax.numpy as jnp
     from jax import export as jexport
 
-    from s2anet_tpu.utils.config import load_config
+    from s2anet_tpu.utils.config import load_config, prune_overrides
     from s2anet_tpu.utils.jax_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    overrides = {
+    overrides = prune_overrides({
         "model": {"backbone": opt.backbone, "num_classes": opt.num_classes},
         "data": {"img_size": opt.img_size},
         "train": {"dtype": opt.dtype},
-    }
+    })
     cfg = load_config(opt.config or None, overrides)
+    opt.img_size = cfg.data.img_size
     infer = build_inference_fn(cfg, use_ema=not opt.no_ema,
                                weights=opt.weights)
     spec = jax.ShapeDtypeStruct(

@@ -17,25 +17,28 @@ def parse_opt():
     p.add_argument("--weights", default="", help="checkpoint dir (train-state or deploy)")
     p.add_argument("--data-root", default="", help="val images dir or list txt")
     p.add_argument("--gt-dir", default="", help="full-image DOTA labelTxt dir (merge mode)")
-    p.add_argument("--backbone", default="resnet50")
-    p.add_argument("--num-classes", type=int, default=15)
-    p.add_argument("--batch-size", type=int, default=16)
-    p.add_argument("--img-size", type=int, default=1024)
-    p.add_argument("--conf-thres", type=float, default=0.05)
-    p.add_argument("--iou-thres", type=float, default=0.5)
+    # config-mirroring flags default to None: an untyped flag never stomps a
+    # --config value (utils.config.prune_overrides); the dataclass defaults
+    # (resnet50 / 15 classes / 1024 / ...) apply when neither is given
+    p.add_argument("--backbone", default=None)
+    p.add_argument("--num-classes", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--img-size", type=int, default=None)
+    p.add_argument("--conf-thres", type=float, default=None)
+    p.add_argument("--iou-thres", type=float, default=None)
     p.add_argument("--no-map-split", action="store_true",
                    help="merge chips to full images before eval")
     p.add_argument("--no-ema", action="store_true")
     p.add_argument("--save-dir", default="",
                    help="dump per-class DOTA-format result txts + PR curves")
-    p.add_argument("--task", type=int, default=1, choices=[1, 2],
+    p.add_argument("--task", type=int, default=None, choices=[1, 2],
                    help="1 = oriented boxes (Task1), 2 = horizontal (Task2)")
     p.add_argument("--names", default="",
                    help="class preset: dota | dota-v1.5 | dota-v2.0 | hrsc")
     p.add_argument("--rect", action="store_true",
                    help="shape-ordered rect batches (reference val.py:219 "
                         "rect=True pad=0.5) — faster on non-square datasets")
-    p.add_argument("--quant", default="none", choices=["none", "int8"],
+    p.add_argument("--quant", default=None, choices=["none", "int8"],
                    help="int8 post-training quantization for inference "
                         "(calibrates on the first val batches; ~2x conv "
                         "rate on the TPU MXU)")
@@ -54,10 +57,10 @@ def main(opt):
     from s2anet_tpu.train.checkpoint import load_checkpoint
     from s2anet_tpu.train.optim import build_optimizer
     from s2anet_tpu.train.state import create_train_state
-    from s2anet_tpu.utils.config import load_config
+    from s2anet_tpu.utils.config import load_config, prune_overrides
     import jax.numpy as jnp
 
-    overrides = {
+    overrides = prune_overrides({
         "model": {
             "backbone": opt.backbone,
             "num_classes": opt.num_classes,
@@ -65,14 +68,17 @@ def main(opt):
             "nms_iou_thr": opt.iou_thres,
             "quant": opt.quant,
         },
-        "data": {"val_list": opt.data_root, "root": opt.data_root,
-                 "img_size": opt.img_size, "val_gt_dir": opt.gt_dir,
+        "data": {"val_list": opt.data_root or None,
+                 "root": opt.data_root or None,
+                 "img_size": opt.img_size,
+                 "val_gt_dir": opt.gt_dir or None,
                  **({"names": opt.names} if opt.names else {})},
         "eval": {"batch_size": opt.batch_size,
-                 "is_map_split": not opt.no_map_split,
+                 # store_true flags only override when actually typed
+                 "is_map_split": False if opt.no_map_split else None,
                  "task": opt.task,
-                 "rect": opt.rect},
-    }
+                 "rect": True if opt.rect else None},
+    })
     cfg = load_config(opt.config or None, overrides)
 
     model = S2ANet(
