@@ -178,7 +178,25 @@ def main():
             r2 = f(vs, imgs)
             float(r1), float(r2)
             t2s.append(time.perf_counter() - t0)
-        dt = min(t2s) - min(t1s)
+        # host-timing jitter can squeeze dt toward 0 (or negative) and emit
+        # inf/negative rates into the headline JSON; the two-call wall must
+        # exceed the one-call wall by a sane fraction of the device time
+        for _ in range(4):
+            dt = min(t2s) - min(t1s)
+            if dt > 0.25 * min(t1s):
+                break
+            t0 = time.perf_counter()
+            float(f(vs, imgs))
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            r1, r2 = f(vs, imgs), f(vs, imgs)
+            float(r1), float(r2)
+            t2s.append(time.perf_counter() - t0)
+        else:
+            raise RuntimeError(
+                f"differenced timing unstable: one-call min {min(t1s):.4f}s "
+                f"vs two-call min {min(t2s):.4f}s — dispatch jitter exceeds "
+                "the device time; re-run on a quieter host/tunnel")
         return n_long * batch / dt, compile_s
 
     chips_per_sec, compile_s = differenced_rate(model, variables)
@@ -194,12 +212,21 @@ def main():
     try:
         from s2anet_tpu.ops.quant import calibrate
 
-        qranges = calibrate(model, variables, imgs[:1])
+        # per-module scope: S2A_QUANT_SCOPE env (comma list) for A/B runs,
+        # default = the config default (the measured argmax)
+        scope = tuple(
+            s.strip() for s in _os.environ.get(
+                "S2A_QUANT_SCOPE", ",".join(mc.quant_scope)
+            ).split(",") if s.strip()
+        )
+        model_q = model.clone(quant_scope=scope)
+        qranges = calibrate(model_q, variables, imgs[:1])
         vars_q = dict(variables)
         vars_q["quant"] = qranges
         int8_chips_per_sec, compile_q = differenced_rate(
-            model.clone(quant="int8"), vars_q)
-        print(f"int8: {int8_chips_per_sec:.1f} chips/s "
+            model_q.clone(quant="int8"), vars_q)
+        print(f"int8 (scope={','.join(scope)}): "
+              f"{int8_chips_per_sec:.1f} chips/s "
               f"({int8_chips_per_sec / chips_per_sec:.2f}x float; "
               f"compile {compile_q:.1f}s)", file=sys.stderr)
     except Exception as e:

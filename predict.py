@@ -184,17 +184,6 @@ def _predict_spatial(model, state, cfg, img_bgr, opt, cache):
     return [(int(c), float(s), p) for c, s, p in zip(labels, scores, polys)]
 
 
-def _config_sets(path, section, key) -> bool:
-    """True when the yaml config at ``path`` explicitly sets section.key."""
-    if not path:
-        return False
-    import yaml
-
-    with open(path) as f:
-        d = yaml.safe_load(f) or {}
-    return key in (d.get(section) or {})
-
-
 def main(opt):
     from s2anet_tpu.utils.jax_cache import enable_persistent_cache
 
@@ -214,17 +203,21 @@ def main(opt):
         "model": {
             "backbone": opt.backbone,
             "num_classes": opt.num_classes,
-            "score_thr": opt.conf,
             "nms_iou_thr": opt.iou_thres,
         },
         "data": {"img_size": opt.img_size,
                  **({"names": opt.names} if opt.names else {})},
     })
-    if opt.conf is None and not _config_sets(opt.config, "model", "score_thr"):
-        # predict keeps its own 0.3 default (vs the eval-time 0.05) unless
-        # the user or a config chooses otherwise
-        overrides.setdefault("model", {})["score_thr"] = 0.3
     cfg = load_config(opt.config or None, overrides)
+    # predict's threshold is its OWN config key (model.predict_score_thr,
+    # default 0.3): the eval protocol's score_thr (0.05 in the shipped
+    # configs) must never set the drawing/saving threshold. Precedence:
+    # --conf > config's predict_score_thr > 0.3.
+    import dataclasses as _dc
+
+    thr = (opt.conf if opt.conf is not None
+           else getattr(cfg.model, "predict_score_thr", 0.3))
+    cfg = _dc.replace(cfg, model=_dc.replace(cfg.model, score_thr=thr))
     opt.img_size = cfg.data.img_size
     opt.iou_thres = cfg.model.nms_iou_thr
     # the chip slide is img_size - gap and must stay positive (the reference

@@ -129,6 +129,18 @@ def evaluate_on_chips(model, state, cfg, mesh=None, dataset=None,
     txts (chip-level, and merged when ``is_map_split=False``)."""
     import jax.numpy as jnp
 
+    if getattr(cfg.model, "quant", "none") == "int8":
+        # validate the scope knob up front — a typo'd group must fail loudly
+        # before any loader/compile work, not silently run float
+        from ..ops.quant import QUANT_SCOPE_ALL, QUANT_SCOPE_DEFAULT
+
+        scope = tuple(getattr(cfg.model, "quant_scope", QUANT_SCOPE_DEFAULT))
+        unknown = set(scope) - set(QUANT_SCOPE_ALL)
+        if unknown:
+            raise ValueError(
+                f"unknown quant_scope groups {sorted(unknown)}; "
+                f"valid: {QUANT_SCOPE_ALL}")
+
     dataset = dataset or DotaDataset(
         cfg.data.val_list or cfg.data.root,
         img_size=cfg.data.img_size,
@@ -184,6 +196,10 @@ def evaluate_on_chips(model, state, cfg, mesh=None, dataset=None,
 
         from ..ops.quant import calibrate
 
+        # per-module scope (config knob, validated above): set it on the
+        # model BEFORE calibration so the calib clone records ranges for
+        # exactly the convs the int8 program will quantize
+        model = model.clone(quant_scope=scope)
         k = max(1, int(getattr(cfg.model, "quant_calib_batches", 4)))
         # a dedicated cheap loader: thread mode + 1 worker (spinning the
         # full process pool up for ~4 batches costs more than it saves,

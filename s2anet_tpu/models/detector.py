@@ -42,31 +42,51 @@ class S2ANet(nn.Module):
     # "quant" collection) | "int8" (static PTQ — needs the calibrated
     # "quant" collection among the apply variables). See ops/quant.py.
     quant: str = "none"
+    # which module groups quantize when quant != "none" (subset of
+    # ops/quant.py QUANT_SCOPE_ALL: backbone, neck, head_stacks, orconv,
+    # heads). Default = the measured throughput argmax (BENCH.md round-4/5
+    # scope A/B); groups outside the scope run float with an unchanged
+    # parameter tree, so the scope is a pure serving knob.
+    quant_scope: Sequence[str] = ("backbone", "neck", "head_stacks")
     # serving-time conv+BN weight folding (models/fold.py): apply only with
     # variables from fold_bn_variables(); inference only
     fold_bn: bool = False
     # >0: train-time BN stats from the first k batch images (models/resnet.py
     # SampledBatchNorm — the reference's per-GPU small-batch regime)
     bn_stats_images: int = 0
+    # training BN statistics backend: "auto" = Pallas moment kernels on TPU
+    # (models/bn.py — single-read stat reductions + closed-form backward),
+    # flax nn.BatchNorm elsewhere; "xla" | "pallas" force one
+    bn_impl: str = "auto"
+    # mesh for cross-shard (global-batch) BN stats on >1-device meshes
+    # (set by parallel.step, like deform_mesh)
+    bn_mesh: Optional[Any] = None
 
     @nn.compact
     def __call__(self, imgs, train: bool = False):
         """imgs: ``[B, H, W, 3]`` float (already /255 normalized)."""
+        from ..ops.quant import scope_has
+
+        def scoped(group):
+            return self.quant if scope_has(self.quant_scope, group) else "none"
+
         feats = ResNetBackbone(
             arch=self.backbone_name,
             frozen_stages=self.frozen_stages,
             norm_eval=self.norm_eval,
             remat=self.backbone_remat and train,
-            quant=self.quant,
+            quant=scoped("backbone"),
             fold_bn=self.fold_bn,
             bn_stats_images=self.bn_stats_images,
+            bn_impl=self.bn_impl,
+            bn_mesh=self.bn_mesh,
             name="backbone",
         )(imgs, train=train)
         pyramid = FPN(
             in_channels=tuple(stage_channels(self.backbone_name)),
             out_channels=256,
             num_outs=len(self.strides),
-            quant=self.quant,
+            quant=scoped("neck"),
             name="neck",
         )(feats)
         return S2ANetHead(
@@ -78,5 +98,6 @@ class S2ANet(nn.Module):
             deform_mesh=self.deform_mesh,
             deform_spatial=self.deform_spatial,
             quant=self.quant,
+            quant_scope=tuple(self.quant_scope),
             name="head",
         )(pyramid, train=train)

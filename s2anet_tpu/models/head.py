@@ -100,17 +100,20 @@ class _ConvStack(nn.Module):
     n: int
     dtype: Optional[Any] = None
     quant: str = "none"       # int8 PTQ mode (ops/quant.py)
+    range_slots: int = 1      # per-call-site activation ranges (FPN levels)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, slot: int = 0):
         from ..ops.quant import conv_ctor
 
-        Conv = conv_ctor(self.quant)
+        quantized = self.quant in ("calib", "int8")
+        Conv = conv_ctor(self.quant, self.range_slots)
         dtype = self.dtype if self.dtype is not None else x.dtype
         for i in range(self.n):
-            x = Conv(self.feat_channels, (3, 3), padding="SAME",
-                     kernel_init=_conv_init, dtype=dtype,
-                     name=f"conv{i}")(x)
+            conv = Conv(self.feat_channels, (3, 3), padding="SAME",
+                        kernel_init=_conv_init, dtype=dtype,
+                        name=f"conv{i}")
+            x = conv(x, slot) if quantized else conv(x)
             x = nn.relu(x)
         return x
 
@@ -146,20 +149,29 @@ class S2ANetHead(nn.Module):
     # hat kernel runs under a halo-exchange shard_map (:func:`_spatial_hat`).
     # Requires 0 < align_offset_clamp <= margin-2 (the halo bound).
     deform_spatial: bool = False
-    # int8 PTQ mode (ops/quant.py) for the FAM/ODM conv stacks, the 1x1/3x3
-    # prediction heads AND the ORConv (whose ARF-expanded kernel quantizes
-    # per-output-channel like any other); only the AlignConv stays float —
-    # the deformable sampling rides the bf16 hat kernel
+    # int8 PTQ mode (ops/quant.py); `quant_scope` selects WHICH head parts
+    # quantize: "head_stacks" (FAM/ODM conv stacks), "heads" (the 1x1/3x3
+    # prediction heads), "orconv" (the ARF conv, whose per-output-channel
+    # weight scales absorb the rotation exactly). All quantized activation
+    # ranges are PER FPN LEVEL (the stacks are weight-shared across levels;
+    # a union range would grid every level by the loudest one). The
+    # AlignConv always stays float — the deformable sampling rides the
+    # bf16 hat kernel.
     quant: str = "none"
+    quant_scope: Sequence[str] = ("backbone", "neck", "head_stacks")
 
     def setup(self):
-        from ..ops.quant import conv_ctor
+        from ..ops.quant import conv_ctor, scope_has
 
-        Conv = conv_ctor(self.quant)
+        nlv = len(self.featmap_strides)
+        q_on = self.quant in ("calib", "int8")
+        q_stacks = self.quant if scope_has(self.quant_scope, "head_stacks") else "none"
+        q_heads = self.quant if scope_has(self.quant_scope, "heads") else "none"
+        Conv = conv_ctor(q_heads, range_slots=nlv)
         fc = self.feat_channels
         nc = self.num_classes
-        self.fam_reg_ls = _ConvStack(fc, self.stacked_convs, dtype=self.dtype, quant=self.quant, name="fam_reg_ls")
-        self.fam_cls_ls = _ConvStack(fc, self.stacked_convs, dtype=self.dtype, quant=self.quant, name="fam_cls_ls")
+        self.fam_reg_ls = _ConvStack(fc, self.stacked_convs, dtype=self.dtype, quant=q_stacks, range_slots=nlv, name="fam_reg_ls")
+        self.fam_cls_ls = _ConvStack(fc, self.stacked_convs, dtype=self.dtype, quant=q_stacks, range_slots=nlv, name="fam_cls_ls")
         # FAM output heads are 1x1, ODM heads are 3x3 (head.py:205-227)
         self.fam_reg_head = Conv(5, (1, 1), kernel_init=_conv_init,
                                  dtype=self.dtype, name="fam_reg_head")
@@ -184,24 +196,24 @@ class S2ANetHead(nn.Module):
             self.or_bias = self.param(
                 "or_bias", nn.initializers.zeros, (fc,), jnp.float32
             )
-            if self.quant in ("calib", "int8"):
-                # per-tensor activation range for the int8 ORConv (the conv
+            if q_on and scope_has(self.quant_scope, "orconv"):
+                # PER-LEVEL activation ranges for the int8 ORConv (the conv
                 # itself is functional — the ARF rotation generates its
                 # kernel — so the range variables live on the head; +-inf
                 # init makes the first calib fold take the batch range)
                 self.or_act_min = self.variable(
                     "quant", "or_act_min",
-                    lambda: jnp.full((), jnp.inf, jnp.float32))
+                    lambda: jnp.full((nlv,), jnp.inf, jnp.float32))
                 self.or_act_max = self.variable(
                     "quant", "or_act_max",
-                    lambda: jnp.full((), -jnp.inf, jnp.float32))
+                    lambda: jnp.full((nlv,), -jnp.inf, jnp.float32))
         else:
             self.or_conv = nn.Conv(fc, (3, 3), padding="SAME",
                                    kernel_init=_conv_init, dtype=self.dtype,
                                    name="or_conv")
 
-        self.odm_reg_ls = _ConvStack(fc, self.stacked_convs, dtype=self.dtype, quant=self.quant, name="odm_reg_ls")
-        self.odm_cls_ls = _ConvStack(fc, self.stacked_convs, dtype=self.dtype, quant=self.quant, name="odm_cls_ls")
+        self.odm_reg_ls = _ConvStack(fc, self.stacked_convs, dtype=self.dtype, quant=q_stacks, range_slots=nlv, name="odm_reg_ls")
+        self.odm_cls_ls = _ConvStack(fc, self.stacked_convs, dtype=self.dtype, quant=q_stacks, range_slots=nlv, name="odm_cls_ls")
         self.odm_reg_head = Conv(5, (3, 3), padding="SAME",
                                  kernel_init=_conv_init, dtype=self.dtype,
                                  name="odm_reg_head")
@@ -209,6 +221,13 @@ class S2ANetHead(nn.Module):
             nc, (3, 3), padding="SAME", kernel_init=_conv_init,
             bias_init=nn.initializers.constant(_bias_init_with_prob(0.01)),
             dtype=self.dtype, name="odm_cls_head")
+
+    def _qcall(self, mod, x, lvl):
+        """Call a prediction-head conv, passing the level as the activation-
+        range slot when the conv is quantized."""
+        from ..ops.quant import QuantConv
+
+        return mod(x, lvl) if isinstance(mod, QuantConv) else mod(x)
 
     def level_anchors(self, featmap_size, stride):
         """Static [H*W*A, 5] anchor grid for one level (constant under jit)."""
@@ -237,10 +256,12 @@ class S2ANetHead(nn.Module):
         """
         out = {k: [] for k in ("fam_cls", "fam_bbox", "odm_cls", "odm_bbox",
                                "init_anchors", "refine_anchors")}
-        for x, stride in zip(feats, self.featmap_strides):
+        for lvl, (x, stride) in enumerate(zip(feats, self.featmap_strides)):
             b, h, w, _ = x.shape
-            fam_bbox = self.fam_reg_head(self.fam_reg_ls(x))
-            fam_cls = self.fam_cls_head(self.fam_cls_ls(x))
+            fam_bbox = self._qcall(self.fam_reg_head,
+                                   self.fam_reg_ls(x, lvl), lvl)
+            fam_cls = self._qcall(self.fam_cls_head,
+                                  self.fam_cls_ls(x, lvl), lvl)
 
             anchors = self.level_anchors((h, w), stride)  # [H*W, 5]
             # refine anchors by decoding detached FAM deltas (head.py:324-331)
@@ -311,25 +332,29 @@ class S2ANetHead(nn.Module):
                                   offset_grad=False)  # offsets stop-gradient
                 )
             if self.with_orconv:
+                from ..ops.quant import scope_has
+
+                q_or = scope_has(self.quant_scope, "orconv")
                 w_arf = rotate_arf(self.or_weight, self.n_orientations)
                 # OIHW -> HWIO for lax conv
                 w_hwio = w_arf.transpose(2, 3, 1, 0)
-                if self.quant == "int8":
+                if self.quant == "int8" and q_or:
                     from ..ops.quant import int8_conv
 
                     # the ARF-expanded kernel quantizes like any other:
                     # each rotated copy is its own output channel, so the
-                    # per-output-channel scales absorb the rotation exactly
+                    # per-output-channel scales absorb the rotation exactly;
+                    # ranges are per level (the weights are level-shared)
                     or_feat = int8_conv(
-                        align, w_hwio, self.or_act_min.value,
-                        self.or_act_max.value, dtype=x.dtype,
+                        align, w_hwio, self.or_act_min.value[lvl],
+                        self.or_act_max.value[lvl], dtype=x.dtype,
                     )
                 else:
-                    if self.quant == "calib":
+                    if self.quant == "calib" and q_or:
                         from ..ops.quant import fold_batch_range
 
                         fold_batch_range(self.or_act_min, self.or_act_max,
-                                         align)
+                                         align, slot=lvl)
                     or_feat = jax.lax.conv_general_dilated(
                         align, w_hwio.astype(x.dtype), (1, 1), "SAME",
                         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -342,8 +367,10 @@ class S2ANetHead(nn.Module):
                 or_feat = self.or_conv(align)
                 odm_cls_feat = or_feat
 
-            odm_cls = self.odm_cls_head(self.odm_cls_ls(odm_cls_feat))
-            odm_bbox = self.odm_reg_head(self.odm_reg_ls(or_feat))
+            odm_cls = self._qcall(self.odm_cls_head,
+                                  self.odm_cls_ls(odm_cls_feat, lvl), lvl)
+            odm_bbox = self._qcall(self.odm_reg_head,
+                                   self.odm_reg_ls(or_feat, lvl), lvl)
 
             out["fam_cls"].append(fam_cls)
             out["fam_bbox"].append(fam_bbox)

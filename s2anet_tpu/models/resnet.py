@@ -111,14 +111,20 @@ class SampledBatchNorm(nn.Module):
 
 
 def _BatchNorm(use_running_average: bool, name: str, dtype: Dtype = None,
-               fold: bool = False, stats_images: int = 0):
+               fold: bool = False, stats_images: int = 0,
+               impl: str = "xla", mesh=None):
     """BatchNorm matching torch defaults (eps 1e-5, torch momentum 0.1).
 
     ``dtype`` is the computation dtype (activations); parameters and the
     batch statistics stay float32 (flax computes stats in >= float32).
     ``fold=True`` (inference only, after :func:`..models.fold.
     fold_bn_variables`) swaps in the residual bias-add. ``stats_images>0``
-    swaps in :class:`SampledBatchNorm` (identical trees).
+    swaps in :class:`SampledBatchNorm` (identical trees). ``impl`` selects
+    the TRAINING-mode statistics backend: "xla" (flax nn.BatchNorm),
+    "pallas" (models/bn.py PallasBatchNorm — single-read Pallas moment
+    kernels + closed-form custom-VJP backward), or "auto" (pallas on TPU
+    when its trial compile passes, xla otherwise). All three share one
+    parameter/stats tree.
     """
     if fold:
         return _FoldedBias(dtype=dtype, name=name)
@@ -131,6 +137,24 @@ def _BatchNorm(use_running_average: bool, name: str, dtype: Dtype = None,
             stats_images=stats_images,
             name=name,
         )
+    if not use_running_average and impl != "xla":
+        import jax as _jax
+
+        from ..ops.pallas.moments import moments_kernel_supported
+        from .bn import PallasBatchNorm
+
+        if impl == "pallas" or (impl == "auto" and moments_kernel_supported()):
+            return PallasBatchNorm(
+                use_running_average=False,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=dtype,
+                mesh=mesh,
+                # explicit "pallas" off-TPU = interpret mode (tests); "auto"
+                # never selects pallas off-TPU
+                interpret=_jax.default_backend() != "tpu",
+                name=name,
+            )
     return nn.BatchNorm(
         use_running_average=use_running_average,
         momentum=0.9,
@@ -206,6 +230,8 @@ class BasicBlock(nn.Module):
     quant: str = "none"
     fold_bn: bool = False
     bn_stats_images: int = 0
+    bn_impl: str = "xla"      # training BN stats backend (see _BatchNorm)
+    bn_mesh: Any = None       # mesh for cross-shard stats (models/bn.py)
 
     @nn.compact
     def __call__(self, x):
@@ -215,18 +241,21 @@ class BasicBlock(nn.Module):
                  [(1, 1), (1, 1)],
                  use_bias=False, kernel_init=_he_init, dtype=self.dtype, name="conv1")(x)
         y = _BatchNorm(not self.train, "bn1", self.dtype, self.fold_bn,
-                        self.bn_stats_images if self.train else 0)(y)
+                        self.bn_stats_images if self.train else 0,
+                        self.bn_impl, self.bn_mesh)(y)
         y = nn.relu(y)
         y = Conv(self.planes, (3, 3), (1, 1), [(1, 1), (1, 1)],
                  use_bias=False, kernel_init=_he_init, dtype=self.dtype, name="conv2")(y)
         y = _BatchNorm(not self.train, "bn2", self.dtype, self.fold_bn,
-                        self.bn_stats_images if self.train else 0)(y)
+                        self.bn_stats_images if self.train else 0,
+                        self.bn_impl, self.bn_mesh)(y)
         if self.downsample:
             residual = Conv(self.planes, (1, 1), (self.stride, self.stride),
                             use_bias=False, kernel_init=_he_init,
                             dtype=self.dtype, name="downsample_conv")(x)
             residual = _BatchNorm(not self.train, "downsample_bn", self.dtype, self.fold_bn,
-                        self.bn_stats_images if self.train else 0)(residual)
+                        self.bn_stats_images if self.train else 0,
+                        self.bn_impl, self.bn_mesh)(residual)
         return nn.relu(y + residual)
 
 
@@ -240,6 +269,8 @@ class Bottleneck(nn.Module):
     quant: str = "none"
     fold_bn: bool = False
     bn_stats_images: int = 0
+    bn_impl: str = "xla"      # training BN stats backend (see _BatchNorm)
+    bn_mesh: Any = None       # mesh for cross-shard stats (models/bn.py)
 
     @nn.compact
     def __call__(self, x):
@@ -248,25 +279,29 @@ class Bottleneck(nn.Module):
         y = Conv(self.planes, (1, 1), use_bias=False,
                  kernel_init=_he_init, dtype=self.dtype, name="conv1")(x)
         y = _BatchNorm(not self.train, "bn1", self.dtype, self.fold_bn,
-                        self.bn_stats_images if self.train else 0)(y)
+                        self.bn_stats_images if self.train else 0,
+                        self.bn_impl, self.bn_mesh)(y)
         y = nn.relu(y)
         y = Conv(self.planes, (3, 3), (self.stride, self.stride),
                  [(1, 1), (1, 1)],
                  use_bias=False, kernel_init=_he_init, dtype=self.dtype, name="conv2")(y)
         y = _BatchNorm(not self.train, "bn2", self.dtype, self.fold_bn,
-                        self.bn_stats_images if self.train else 0)(y)
+                        self.bn_stats_images if self.train else 0,
+                        self.bn_impl, self.bn_mesh)(y)
         y = nn.relu(y)
         y = Conv(self.planes * self.expansion, (1, 1), use_bias=False,
                  kernel_init=_he_init, dtype=self.dtype, name="conv3")(y)
         y = _BatchNorm(not self.train, "bn3", self.dtype, self.fold_bn,
-                        self.bn_stats_images if self.train else 0)(y)
+                        self.bn_stats_images if self.train else 0,
+                        self.bn_impl, self.bn_mesh)(y)
         if self.downsample:
             residual = Conv(self.planes * self.expansion, (1, 1),
                             (self.stride, self.stride), use_bias=False,
                             kernel_init=_he_init, dtype=self.dtype,
                             name="downsample_conv")(x)
             residual = _BatchNorm(not self.train, "downsample_bn", self.dtype, self.fold_bn,
-                        self.bn_stats_images if self.train else 0)(residual)
+                        self.bn_stats_images if self.train else 0,
+                        self.bn_impl, self.bn_mesh)(residual)
         return nn.relu(y + residual)
 
 
@@ -306,6 +341,13 @@ class ResNetBackbone(nn.Module):
     # (SampledBatchNorm) — the reference's per-GPU-batch regime; 0 = exact
     # full-batch stats (the parity default)
     bn_stats_images: int = 0
+    # training BN statistics backend: "auto" (Pallas moment kernels on TPU,
+    # flax nn.BatchNorm elsewhere) | "xla" | "pallas" — see models/bn.py
+    bn_impl: str = "auto"
+    # mesh for cross-shard (global-batch) BN stats on >1-device meshes: the
+    # Pallas moment kernels run under shard_map + psum there (GSPMD cannot
+    # partition a pallas_call); set by parallel.step like deform_mesh
+    bn_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -330,7 +372,8 @@ class ResNetBackbone(nn.Module):
         # C1: 7x7/2 stem
         y = _StemConv(64, dtype=dtype, name="conv1")(x)
         y = _BatchNorm(not bn_train(0), "bn1", dtype, self.fold_bn,
-                       self.bn_stats_images if bn_train(0) else 0)(y)
+                       self.bn_stats_images if bn_train(0) else 0,
+                       self.bn_impl, self.bn_mesh)(y)
         y = nn.relu(y)
         if 0 in self.out_indices:
             outs.append(y)
@@ -352,6 +395,8 @@ class ResNetBackbone(nn.Module):
                     quant=self.quant,
                     fold_bn=self.fold_bn,
                     bn_stats_images=self.bn_stats_images,
+                    bn_impl=self.bn_impl,
+                    bn_mesh=self.bn_mesh,
                     name=f"layer{stage + 1}_{b}",
                 )(y)
                 in_ch = planes * expansion

@@ -51,12 +51,20 @@ def make_spatial_eval_step(
         # spatial mode. Unclamped offsets have unbounded reach, so only then
         # does spatial inference pin the XLA gather path (which GSPMD
         # partitions cleanly with its own halo exchanges).
+        import os
+
         from ..ops.pallas.deform_kernel import MARGIN, hat_kernel_supported
 
         clamp = float(getattr(model, "align_offset_clamp", 0.0))
-        if 0.0 < clamp <= MARGIN - 2 and (
-                getattr(model, "deform_impl", "auto") == "hat"
-                or hat_kernel_supported()):
+        # honor the S2A_DEFORM_IMPL experiment override exactly as the
+        # "auto" path in head.py does — a gather-vs-hat A/B in spatial mode
+        # must not silently measure hat twice
+        env_impl = os.environ.get("S2A_DEFORM_IMPL", "")
+        impl = getattr(model, "deform_impl", "auto")
+        if impl == "auto" and env_impl:
+            impl = env_impl
+        if impl != "gather" and 0.0 < clamp <= MARGIN - 2 and (
+                impl == "hat" or hat_kernel_supported()):
             model = model.clone(deform_impl="hat", deform_mesh=mesh,
                                 deform_spatial=True)
         else:

@@ -46,7 +46,13 @@ def _pin_deform_for_mesh(model, mesh):
     """
     if (mesh is not None and mesh.devices.size > 1
             and getattr(model, "deform_impl", None) in ("auto", "hat")):
-        return model.clone(deform_mesh=mesh)
+        model = model.clone(deform_mesh=mesh)
+    if (mesh is not None and mesh.devices.size > 1
+            and hasattr(model, "bn_mesh")):
+        # same GSPMD limitation for the Pallas BN moment kernels: on a
+        # >1-device mesh the train-mode stats run under shard_map + psum
+        # (models/bn.py) to keep exact global-batch statistics
+        model = model.clone(bn_mesh=mesh)
     return model
 
 

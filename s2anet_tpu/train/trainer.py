@@ -91,6 +91,7 @@ class Trainer:
             deform_impl=cfg.model.deform_impl,
             align_offset_clamp=cfg.model.align_offset_clamp,
             bn_stats_images=getattr(cfg.model, "bn_stats_images", 0),
+            bn_impl=getattr(cfg.model, "bn_impl", "auto"),
         )
         self.mesh = make_mesh_for_batch(
             cfg.train.batch_size, cfg.eval.batch_size

@@ -43,6 +43,11 @@ class ModelConfig:
     # 0 = exact global-batch stats (the parity default). Gated on the
     # synthetic acceptance run before any preset ships it.
     bn_stats_images: int = 0
+    # training BN statistics backend: "auto" (Pallas single-read moment
+    # kernels + closed-form backward on TPU — models/bn.py; flax
+    # nn.BatchNorm elsewhere) | "xla" | "pallas". Identical math and
+    # parameter trees; a pure performance switch for the BN-stat passes.
+    bn_impl: str = "auto"
     # AlignConv implementation: "auto" (Pallas hat-matmul kernel on TPU,
     # XLA gather elsewhere), "hat", or "gather" — see ops/pallas/deform_kernel.py
     deform_impl: str = "auto"
@@ -61,6 +66,13 @@ class ModelConfig:
     # runs float.
     quant: str = "none"
     quant_calib_batches: int = 4      # batches used to calibrate ranges
+    # which module groups quantize under quant="int8" (subset of
+    # {backbone, neck, head_stacks, orconv, heads}). Quantizing everything
+    # measured SLOWER than float (BENCH.md round-4: the ORConv + prediction
+    # heads' quant/dequant epilogues outweigh their int8 MXU gain at
+    # 5-level head shapes); the default is the measured throughput argmax.
+    # Groups outside the scope run float with an identical parameter tree.
+    quant_scope: Sequence[str] = ("backbone", "neck", "head_stacks")
     # serving-time conv+BN weight folding (models/fold.py; reference
     # fuse_conv_and_bn, utils/torch_utils.py:206-230): standalone inference
     # (val.py / predict.py) folds the BN affine+stats into conv kernels at
@@ -69,6 +81,11 @@ class ModelConfig:
     fold_bn: bool = True
     # inference (head.py:73-76)
     score_thr: float = 0.05
+    # predict.py's drawing/saving threshold: kept SEPARATE from the eval
+    # protocol's score_thr (0.05) so a config that pins the eval protocol
+    # (configs/dota_r50.yaml) doesn't silently flood predict outputs with
+    # sub-0.3 detections; `predict.py --conf` overrides it
+    predict_score_thr: float = 0.3
     nms_iou_thr: float = 0.5
     max_before_nms_per_level: int = 2000
     max_per_img: int = 2000

@@ -169,6 +169,103 @@ class TestDetectorQuant:
         assert np.isfinite(np.asarray(det_boxes)).all()
 
 
+class TestQuantScope:
+    """Per-module quant scope (ModelConfig.quant_scope) + per-level
+    activation ranges — round-5 recovery of the round-4 int8 regression
+    (quantizing everything measured SLOWER than float; the scope knob keeps
+    the shipped set at the measured argmax, BENCH.md)."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        model = S2ANet(backbone_name="resnet18", num_classes=3,
+                       deform_impl="gather")
+        imgs = jnp.asarray(
+            np.random.default_rng(5).uniform(size=(2, 64, 64, 3))
+            .astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), imgs, train=False)
+        return model, variables, imgs
+
+    def _quant_keys(self, quant):
+        from flax.traverse_util import flatten_dict
+
+        return set(flatten_dict(quant).keys())
+
+    def test_scope_limits_quant_collection(self, setup):
+        model, variables, imgs = setup
+        q_bb = calibrate(model.clone(quant_scope=("backbone",)),
+                         variables, imgs[None])
+        keys = self._quant_keys(q_bb)
+        assert keys and all(k[0] == "backbone" for k in keys)
+
+        q_stacks = calibrate(model.clone(quant_scope=("head_stacks",)),
+                             variables, imgs[None])
+        keys = self._quant_keys(q_stacks)
+        assert keys and all(
+            k[0] == "head" and k[1].endswith("_ls") for k in keys)
+        # no orconv ranges unless "orconv" is in scope
+        assert not any(k[-1].startswith("or_act") for k in keys)
+
+        q_or = calibrate(model.clone(quant_scope=("orconv",)),
+                         variables, imgs[None])
+        keys = self._quant_keys(q_or)
+        assert keys == {("head", "or_act_min"), ("head", "or_act_max")}
+
+    def test_head_ranges_are_per_level(self, setup):
+        from flax.traverse_util import flatten_dict
+
+        model, variables, imgs = setup
+        nlv = len(model.strides)
+        q = calibrate(
+            model.clone(quant_scope=("head_stacks", "orconv", "heads")),
+            variables, imgs[None])
+        flat = flatten_dict(q)
+        for k, v in flat.items():
+            assert np.asarray(v).shape == (nlv,), k
+            assert np.isfinite(np.asarray(v)).all(), (
+                k, "every level slot must be calibrated")
+        # the FPN levels see genuinely different distributions: at least one
+        # range variable must differ across slots (a union/shared range
+        # would be constant)
+        assert any(len(np.unique(np.asarray(v))) > 1 for v in flat.values())
+
+    @pytest.mark.parametrize("scope", [
+        ("backbone", "neck", "head_stacks"),
+        ("backbone", "neck", "head_stacks", "orconv", "heads"),
+    ])
+    def test_scoped_int8_forward_close(self, setup, scope):
+        model, variables, imgs = setup
+        mdl = model.clone(quant_scope=scope)
+        quant = calibrate(mdl, variables, imgs[None])
+        out_f = model.apply(variables, imgs, train=False)
+        out_q = mdl.clone(quant="int8").apply(
+            {**variables, "quant": quant}, imgs, train=False)
+        for k in ("odm_cls", "odm_bbox"):
+            for lvl in range(len(out_f[k])):
+                a = np.asarray(out_f[k][lvl], np.float32)
+                b = np.asarray(out_q[k][lvl], np.float32)
+                scale = max(np.abs(a).max(), 0.05)
+                assert np.abs(a - b).max() / scale < 0.05, (scope, k, lvl)
+
+    def test_param_tree_identical_across_scopes(self, setup):
+        model, variables, imgs = setup
+        for scope in [(), ("backbone",), ("orconv", "heads")]:
+            v_q = model.clone(quant="int8", quant_scope=scope).init(
+                jax.random.PRNGKey(0), imgs, train=False)
+            assert (jax.tree_util.tree_structure(v_q["params"])
+                    == jax.tree_util.tree_structure(variables["params"]))
+
+    def test_runner_rejects_unknown_scope(self, setup, tmp_path):
+        from s2anet_tpu.eval.runner import evaluate_on_chips
+        from s2anet_tpu.utils.config import load_config
+
+        model, variables, imgs = setup
+        cfg = load_config(overrides={
+            "model": {"quant": "int8", "quant_scope": ["backbone", "typo"]},
+        })
+        with pytest.raises(ValueError, match="typo"):
+            evaluate_on_chips(model, None, cfg, dataset=object())
+
+
 class TestUnsupportedKwargs:
     def test_grouped_conv_rejected_clearly(self):
         x = _rand((1, 8, 8, 8))

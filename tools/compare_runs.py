@@ -45,10 +45,15 @@ def main():
               f"{da[-1]:10.4f} {db[-1]:10.4f}")
 
     for key in ("map50", "metrics/mAP_0.5"):
-        if key in a[0]:
-            ma = float(a[n - 1][key])
-            mb = float(b[n - 1][key])
-            print(f"\nfinal mAP50: A({a_dir}) = {ma:.4f}   "
+        # guard both headers (B's results.csv may lack the column), and read
+        # each run's OWN last epoch — with unequal epoch counts, row n-1 is
+        # not the final epoch of the longer run
+        if key in a[0] and key in b[0]:
+            ma = float(a[-1][key])
+            mb = float(b[-1][key])
+            tag = (f" (epochs {len(a)} vs {len(b)})"
+                   if len(a) != len(b) else "")
+            print(f"\nfinal mAP50{tag}: A({a_dir}) = {ma:.4f}   "
                   f"B({b_dir}) = {mb:.4f}   |d| = {abs(ma - mb):.4f}")
             break
 

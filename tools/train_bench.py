@@ -34,6 +34,8 @@ def main():
     p.add_argument("--backbone", default="resnet50")
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--bn-stats-images", type=int, default=0)
+    p.add_argument("--bn-impl", default="auto",
+                   choices=["auto", "xla", "pallas"])
     p.add_argument("--clamp", type=float, default=6.0)
     p.add_argument("--deform", default="auto",
                    choices=["auto", "hat", "gather"])
@@ -59,11 +61,12 @@ def main():
     model = S2ANet(
         backbone_name=args.backbone, num_classes=15,
         deform_impl=args.deform, align_offset_clamp=args.clamp,
-        bn_stats_images=args.bn_stats_images,
+        bn_stats_images=args.bn_stats_images, bn_impl=args.bn_impl,
     )
     mc = ModelConfig(backbone=args.backbone,
                      align_offset_clamp=args.clamp,
-                     bn_stats_images=args.bn_stats_images)
+                     bn_stats_images=args.bn_stats_images,
+                     bn_impl=args.bn_impl)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, s, s, 3), jnp.bfloat16),
                            train=False)
@@ -126,8 +129,8 @@ def main():
 
     print(f"forced-sync: median {med:.1f} ms/step (min {walls[0]:.1f}), "
           f"pipelined {pipe:.1f} ms/step = {1e3 * b / pipe:.1f} img/s "
-          f"(bn_stats_images={args.bn_stats_images}, clamp={args.clamp}, "
-          f"deform={args.deform})")
+          f"(bn_stats_images={args.bn_stats_images}, bn_impl={args.bn_impl}, "
+          f"clamp={args.clamp}, deform={args.deform})")
 
     if args.trace:
         with jax.profiler.trace(args.trace):

@@ -42,6 +42,10 @@ def parse_opt():
                    help="int8 post-training quantization for inference "
                         "(calibrates on the first val batches; ~2x conv "
                         "rate on the TPU MXU)")
+    p.add_argument("--quant-scope", default=None,
+                   help="comma-separated module groups to quantize "
+                        "(backbone,neck,head_stacks,orconv,heads); "
+                        "default = the measured throughput argmax")
     return p.parse_args()
 
 
@@ -67,6 +71,9 @@ def main(opt):
             "score_thr": opt.conf_thres,
             "nms_iou_thr": opt.iou_thres,
             "quant": opt.quant,
+            "quant_scope": (tuple(
+                s.strip() for s in opt.quant_scope.split(",") if s.strip()
+            ) if opt.quant_scope else None),
         },
         "data": {"val_list": opt.data_root or None,
                  "root": opt.data_root or None,
