@@ -37,6 +37,14 @@ def main():
     p.add_argument("--backbone", default="resnet50")
     p.add_argument("--scopes", default=";".join(DEFAULT_SCOPES),
                    help="semicolon-separated scope sets (each a comma list)")
+    p.add_argument("--forms", default="",
+                   help="comma list of int8 formulations to A/B per scope "
+                        "(zppad,border); default: the active int8_form()")
+    p.add_argument("--skip-float", action="store_true",
+                   help="reuse a known float rate (print ratios vs 1.0)")
+    p.add_argument("--no-fold", action="store_true",
+                   help="skip conv+BN folding (the round-3 measurement "
+                        "condition; product default folds)")
     p.add_argument("--reps", type=int, default=3)
     args = p.parse_args()
 
@@ -69,7 +77,8 @@ def main():
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, size, size, 3), jnp.bfloat16),
                            train=False)
-    model, variables = fold_bn_for_eval(model, variables)
+    if not args.no_fold:
+        model, variables = fold_bn_for_eval(model, variables)
 
     def rate(mdl, vs):
         @jax.jit
@@ -81,8 +90,21 @@ def main():
             s, _ = jax.lax.scan(body, 0.0, imgs)
             return s
 
+        # the tunnel's remote compile service intermittently drops the
+        # response mid-body (jax.errors.JaxRuntimeError INTERNAL) — retry
+        # the compile a few times rather than losing the whole sweep
         t0 = time.perf_counter()
-        fn = fn.lower(vs, imgs).compile()
+        lowered = fn.lower(vs, imgs)
+        for attempt in range(4):
+            try:
+                fn = lowered.compile()
+                break
+            except Exception as e:  # noqa: BLE001 — remote-compile flake
+                if attempt == 3 or "INTERNAL" not in str(e):
+                    raise
+                print(f"  (compile flake, retry {attempt + 1}: "
+                      f"{str(e)[:80]})", file=sys.stderr)
+                time.sleep(5)
         float(fn(vs, imgs))
         compile_s = time.perf_counter() - t0
         t1s, t2s = [], []
@@ -97,18 +119,31 @@ def main():
         dt = min(t2s) - min(t1s)
         return n_long * batch / dt, compile_s
 
-    f_rate, f_compile = rate(model, variables)
-    print(f"float: {f_rate:.1f} chips/s (compile {f_compile:.1f}s)")
+    if args.skip_float:
+        f_rate, f_compile = 1.0, 0.0
+        print("float: skipped (rates below are absolute chips/s)")
+    else:
+        f_rate, f_compile = rate(model, variables)
+        print(f"float: {f_rate:.1f} chips/s (compile {f_compile:.1f}s)",
+              flush=True)
 
+    from s2anet_tpu.ops import quant as quant_mod
+
+    forms = [f.strip() for f in args.forms.split(",") if f.strip()] or [
+        quant_mod.int8_form()]
     for scope_str in args.scopes.split(";"):
         scope = tuple(s.strip() for s in scope_str.split(",") if s.strip())
         mdl = model.clone(quant_scope=scope)
         qranges = calibrate(mdl, variables, imgs[:1])
         vars_q = dict(variables)
         vars_q["quant"] = qranges
-        q_rate, q_compile = rate(mdl.clone(quant="int8"), vars_q)
-        print(f"int8 [{scope_str}]: {q_rate:.1f} chips/s "
-              f"({q_rate / f_rate:.2f}x float; compile {q_compile:.1f}s)")
+        for form in forms:
+            os.environ["S2A_INT8_FORM"] = form
+            q_rate, q_compile = rate(mdl.clone(quant="int8"), vars_q)
+            rel = (f" ({q_rate / f_rate:.2f}x float)"
+                   if not args.skip_float else "")
+            print(f"int8 [{scope_str}] form={form}: {q_rate:.1f} chips/s"
+                  f"{rel} (compile {q_compile:.1f}s)", flush=True)
 
 
 if __name__ == "__main__":
